@@ -1,0 +1,477 @@
+"""DINO detection transformer with domain adaptation — flax, batch-first,
+fully static shapes.
+
+Capability match for the reference's models/dino/dino.py (DINO :43-483,
+build_dino :999-1143) and deformable_transformer.py (two-stage wiring
+:318-360, decoder :579-763), redesigned functionally:
+
+- one linen module owns backbone, projections, encoder/decoder stacks and all
+  heads, so decoder-internal box refinement shares parameters with the output
+  heads (reference shares module objects, dino.py:163-166);
+- CDN uses the static layout of datr_tpu/models/cdn.py;
+- the DA state (global prototypes + counts) is threaded explicitly through
+  __call__ instead of being mutated on the module (reference: dino.py:106-107,
+  373-374);
+- training forward processes a paired batch: first half source domain, second
+  half target domain (reference: DA_utils.py:5-31 decompose_features).
+
+Output layers are stacked along a leading axis ([n_dec, B, N, ...]) rather
+than python lists of dicts so the criterion can vmap over decoder layers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..utils.misc import inverse_sigmoid, sine_embed_for_position
+from .cdn import build_cdn_queries, cdn_layout, cdn_self_attn_mask
+from .da import ImageDiscriminator, class_prototypes, grad_reverse
+from .layers import MLP
+from .position_encoding import position_embedding_sine_hw
+from .resnet import ResNet
+from .transformer import (
+    DeformableDecoderLayer,
+    DeformableEncoderLayer,
+    encoder_reference_points,
+    valid_ratios_from_mask,
+)
+
+BACKBONE_STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+BACKBONE_CHANNELS = {  # channels of stages 1..3 (stride 8/16/32)
+    "resnet50": (512, 1024, 2048),
+    "resnet101": (512, 1024, 2048),
+}
+
+
+class DINO(nn.Module):
+    num_classes: int = 9
+    num_queries: int = 900
+    hidden_dim: int = 256
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    dropout: float = 0.0
+    backbone_name: str = "resnet50"
+    pe_temperature_h: float = 20.0
+    pe_temperature_w: float = 20.0
+    # CDN
+    dn_number: int = 100
+    dn_single_pad: int = 20
+    dn_label_noise_ratio: float = 0.5
+    dn_box_noise_scale: float = 1.0
+    dn_labelbook_size: int = 9
+    # head sharing (DINO_4scale_C2F.py:66-67,100-101)
+    two_stage_share_heads: bool = False
+    msda_impl: str = "xla"
+    use_remat: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        C = self.hidden_dim
+        if self.backbone_name not in BACKBONE_STAGES:
+            raise ValueError(f"unknown backbone {self.backbone_name!r}")
+        self.backbone = ResNet(
+            stage_sizes=BACKBONE_STAGES[self.backbone_name],
+            return_stages=(1, 2, 3),
+            dtype=self.dtype,
+            name="backbone",
+        )
+        n_backbone = len(BACKBONE_CHANNELS[self.backbone_name])
+
+        projs = []
+        for i in range(self.num_feature_levels):
+            if i < n_backbone:
+                conv = nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype,
+                               name=f"input_proj{i}_conv")
+            else:
+                conv = nn.Conv(C, (3, 3), strides=(2, 2), padding=1,
+                               dtype=self.dtype, name=f"input_proj{i}_conv")
+            projs.append(
+                (conv, nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                    name=f"input_proj{i}_norm"))
+            )
+        self.input_projs = projs
+
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feature_levels, C),
+        )
+
+        enc_layer = DeformableEncoderLayer
+        dec_layer = DeformableDecoderLayer
+        if self.use_remat:
+            enc_layer = nn.remat(enc_layer, static_argnums=(4, 6))
+            dec_layer = nn.remat(dec_layer, static_argnums=(5, 8))
+        self.encoder = [
+            enc_layer(
+                C, self.dim_feedforward, self.num_feature_levels, self.nheads,
+                self.enc_n_points, self.dropout, self.msda_impl, self.dtype,
+                name=f"enc_layer{i}",
+            )
+            for i in range(self.enc_layers)
+        ]
+        self.decoder = [
+            dec_layer(
+                C, self.dim_feedforward, self.num_feature_levels, self.nheads,
+                self.dec_n_points, self.dropout, self.msda_impl, self.dtype,
+                name=f"dec_layer{i}",
+            )
+            for i in range(self.dec_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        self.ref_point_head = MLP(C, C, 2, dtype=self.dtype,
+                                  name="ref_point_head")
+
+        # Shared output heads (dec_pred_*_embed_share=True).
+        prior = 0.01
+        bias_init = -math.log((1 - prior) / prior)
+        self.class_head = nn.Dense(
+            self.num_classes,
+            bias_init=nn.initializers.constant(bias_init),
+            dtype=self.dtype, name="class_head",
+        )
+        self.bbox_head = MLP(C, 4, 3, last_zero_init=True, dtype=self.dtype,
+                             name="bbox_head")
+        if self.two_stage_share_heads:
+            self.enc_out_class_head = self.class_head
+            self.enc_out_bbox_head = self.bbox_head
+        else:
+            self.enc_out_class_head = nn.Dense(
+                self.num_classes,
+                bias_init=nn.initializers.constant(bias_init),
+                dtype=self.dtype, name="enc_out_class_head",
+            )
+            self.enc_out_bbox_head = MLP(
+                C, 4, 3, last_zero_init=True, dtype=self.dtype,
+                name="enc_out_bbox_head",
+            )
+        self.enc_output = nn.Dense(C, dtype=self.dtype, name="enc_output")
+        self.enc_output_norm = nn.LayerNorm(dtype=self.dtype,
+                                            name="enc_output_norm")
+
+        self.tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, C)
+        )
+        self.label_enc = self.param(
+            "label_enc", nn.initializers.normal(1.0),
+            (self.dn_labelbook_size + 1, C),
+        )
+
+        # DA heads (reference creates them only in training, dino.py:102-108;
+        # we always create them — unused params cost nothing under jit).
+        self.d_img = ImageDiscriminator(dtype=self.dtype, name="d_img")
+        self.proto_d = MLP(C, 1, 3, dtype=self.dtype, name="proto_d")
+
+    # ------------------------------------------------------------------
+    # feature extraction
+    # ------------------------------------------------------------------
+    def _extract_features(self, images, pad_mask):
+        """images [B,H,W,3], pad_mask [B,H,W] True=pad ->
+        (srcs: list [B,h,w,C], masks: list [B,h,w], pos: list [B,h,w,C])."""
+        feats = self.backbone(images)
+        srcs, masks, poss = [], [], []
+        x_extra = feats[-1]
+        for lvl in range(self.num_feature_levels):
+            if lvl < len(feats):
+                x = feats[lvl]
+            elif lvl == len(feats):
+                x = x_extra  # project raw last backbone feature (dino.py:266)
+            else:
+                x = srcs[-1]
+            conv, norm = self.input_projs[lvl]
+            s = norm(conv(x))
+            h, w = s.shape[1], s.shape[2]
+            m = jax.image.resize(
+                pad_mask.astype(jnp.float32), (pad_mask.shape[0], h, w),
+                method="nearest",
+            ).astype(bool)
+            p = position_embedding_sine_hw(
+                m, self.hidden_dim // 2, self.pe_temperature_h,
+                self.pe_temperature_w,
+            ).astype(self.dtype)
+            srcs.append(s)
+            masks.append(m)
+            poss.append(p)
+        return srcs, masks, poss
+
+    @staticmethod
+    def _flatten_levels(srcs, masks, poss, level_embed):
+        B = srcs[0].shape[0]
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        src_flat = jnp.concatenate(
+            [s.reshape(B, -1, s.shape[-1]) for s in srcs], axis=1
+        )
+        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                p.reshape(B, -1, p.shape[-1]) + level_embed[i][None, None]
+                for i, p in enumerate(poss)
+            ],
+            axis=1,
+        )
+        return src_flat, mask_flat, pos_flat, spatial_shapes
+
+    # ------------------------------------------------------------------
+    # two-stage proposal generation (reference: utils.py:15-60 +
+    # deformable_transformer.py:318-360)
+    # ------------------------------------------------------------------
+    def _two_stage_select(self, memory, mask_flat, spatial_shapes):
+        B, S, C = memory.shape
+        proposals = []
+        offset = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            m = mask_flat[:, offset : offset + h * w].reshape(B, h, w)
+            offset += h * w
+            valid_h = jnp.sum(~m[:, :, 0], axis=1).astype(jnp.float32)
+            valid_w = jnp.sum(~m[:, 0, :], axis=1).astype(jnp.float32)
+            gy, gx = jnp.meshgrid(
+                jnp.arange(h, dtype=jnp.float32),
+                jnp.arange(w, dtype=jnp.float32),
+                indexing="ij",
+            )
+            grid = jnp.stack([gx, gy], axis=-1).reshape(1, h * w, 2)
+            scale = jnp.stack([valid_w, valid_h], axis=-1).reshape(B, 1, 2)
+            centers = (grid + 0.5) / scale
+            wh = jnp.full_like(centers, 0.05 * (2.0 ** lvl))
+            proposals.append(jnp.concatenate([centers, wh], axis=-1))
+        proposals = jnp.concatenate(proposals, axis=1)  # [B, S, 4]
+
+        prop_valid = jnp.all(
+            (proposals > 0.01) & (proposals < 0.99), axis=-1
+        ) & (~mask_flat)
+        out_memory = jnp.where(prop_valid[..., None], memory, 0.0)
+        out_memory = self.enc_output_norm(self.enc_output(out_memory))
+        prop_unsig = inverse_sigmoid(proposals)
+
+        enc_class = self.enc_out_class_head(out_memory)  # [B, S, K]
+        enc_coord_unsig = self.enc_out_bbox_head(out_memory) + prop_unsig
+
+        # Improvement over the reference: padded/invalid positions are
+        # explicitly excluded from top-k (the reference relies on the class
+        # head's output at zeroed features scoring low).
+        scores = jnp.max(enc_class, axis=-1)
+        scores = jnp.where(prop_valid, scores, -1e9)
+        _, topk_idx = jax.lax.top_k(scores, self.num_queries)  # [B, nq]
+
+        def gather(x):
+            return jnp.take_along_axis(
+                x, topk_idx[..., None].astype(jnp.int32), axis=1
+            )
+
+        ref_unsig_undetach = gather(enc_coord_unsig)  # [B, nq, 4]
+        tgt_undetach = gather(out_memory)  # [B, nq, C]
+        init_box_proposal = jax.nn.sigmoid(gather(prop_unsig))
+        return ref_unsig_undetach, tgt_undetach, init_box_proposal
+
+    # ------------------------------------------------------------------
+    # encoder + two-stage + decoder over one (sub-)batch
+    # ------------------------------------------------------------------
+    def _transformer_pass(
+        self,
+        src_flat,
+        mask_flat,
+        pos_flat,
+        valid_ratios,
+        spatial_shapes,
+        dn_embed: Optional[jnp.ndarray],  # [B, pad, C]
+        dn_bbox_unsig: Optional[jnp.ndarray],  # [B, pad, 4]
+        self_attn_mask: Optional[jnp.ndarray],  # [N, N] True=attend
+        deterministic: bool,
+    ):
+        B = src_flat.shape[0]
+        # --- encoder ---
+        enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        memory = src_flat
+        for layer in self.encoder:
+            memory = layer(memory, pos_flat, enc_ref, spatial_shapes,
+                           mask_flat, deterministic)
+
+        # --- two-stage selection ---
+        ref_unsig_undetach, tgt_undetach, init_box_proposal = (
+            self._two_stage_select(memory, mask_flat, spatial_shapes)
+        )
+        ref_unsig = jax.lax.stop_gradient(ref_unsig_undetach)
+        # embed_init_tgt=True: learned content queries (DINO_4scale_C2F.py:108)
+        tgt = jnp.tile(self.tgt_embed[None], (B, 1, 1)).astype(self.dtype)
+
+        if dn_embed is not None:
+            tgt = jnp.concatenate([dn_embed, tgt], axis=1)
+            refpoints_unsig = jnp.concatenate([dn_bbox_unsig, ref_unsig], axis=1)
+        else:
+            refpoints_unsig = ref_unsig
+
+        # --- decoder with iterative box refinement ---
+        ref = jax.nn.sigmoid(refpoints_unsig)
+        hs_list, refs_list = [], [ref]
+        x = tgt
+        vr4 = jnp.concatenate([valid_ratios, valid_ratios], axis=-1)
+        for layer in self.decoder:
+            ref_input = ref[:, :, None, :] * vr4[:, None, :, :]  # [B,N,L,4]
+            sine = sine_embed_for_position(
+                ref_input[:, :, 0, :], self.hidden_dim // 2
+            ).astype(self.dtype)
+            query_pos = self.ref_point_head(sine)
+            x = layer(x, query_pos, memory, ref_input, spatial_shapes,
+                      mask_flat, self_attn_mask, deterministic)
+            # refinement uses the un-normed output (deformable_transformer.py
+            # :731-753); outputs_coord outside uses the normed one.
+            delta = self.bbox_head(x)
+            new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+            refs_list.append(new_ref)  # undetached (use_detached_boxes=False)
+            ref = jax.lax.stop_gradient(new_ref)
+            hs_list.append(self.decoder_norm(x))
+
+        hs = jnp.stack(hs_list)  # [n_dec, B, N, C]
+        refs = jnp.stack(refs_list)  # [n_dec+1, B, N, 4]
+        return hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal
+
+    def _head_outputs(self, hs, refs):
+        """Per-layer class/box outputs. hs [n_dec,B,N,C], refs [n_dec+1,...].
+        Layer l pairs hs[l] (normed) with refs[l] (pre-update reference,
+        undetached for l>0) — reference: dino.py:296-307."""
+        logits = self.class_head(hs)
+        coords = jax.nn.sigmoid(self.bbox_head(hs) + inverse_sigmoid(refs[:-1]))
+        return logits, coords
+
+    # ------------------------------------------------------------------
+    def __call__(  # noqa: C901
+        self,
+        images: jnp.ndarray,  # [B, H, W, 3]
+        pad_mask: jnp.ndarray,  # [B, H, W] True = padded pixel
+        targets: Optional[Dict[str, jnp.ndarray]] = None,  # source-half GT
+        dn_rng: Optional[jax.Array] = None,
+        train: bool = False,
+        self_training: bool = False,
+        global_proto: Optional[jnp.ndarray] = None,  # [K, C]
+        amount: Optional[jnp.ndarray] = None,  # [K]
+        deterministic: bool = True,
+    ):
+        srcs, masks, poss = self._extract_features(images, pad_mask)
+        src_flat, mask_flat, pos_flat, spatial_shapes = self._flatten_levels(
+            srcs, masks, poss, self.level_embed
+        )
+        valid_ratios = valid_ratios_from_mask(masks)
+
+        out: Dict[str, Any] = {}
+
+        if not train:
+            hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal = (
+                self._transformer_pass(
+                    src_flat, mask_flat, pos_flat, valid_ratios,
+                    spatial_shapes, None, None, None, True,
+                )
+            )
+            logits, coords = self._head_outputs(hs, refs)
+            out["pred_logits"] = logits[-1]
+            out["pred_boxes"] = coords[-1]
+            out["aux_logits"] = logits[:-1]
+            out["aux_boxes"] = coords[:-1]
+            out["interm_logits"] = self.enc_out_class_head(tgt_undetach)
+            out["interm_boxes"] = jax.nn.sigmoid(ref_unsig_undetach)
+            out["init_box_proposal"] = init_box_proposal
+            return out
+
+        # ---------------- training: paired source/target batch -------------
+        B = images.shape[0]
+        assert B % 2 == 0, "paired DA batches must have even batch size"
+        half = B // 2
+
+        def first_half(t):
+            return t[:half]
+
+        def second_half(t):
+            return t[half:]
+
+        groups, pad_size = cdn_layout(self.dn_number, self.dn_single_pad)
+        cdn = build_cdn_queries(
+            dn_rng, targets["boxes"], targets["labels"], targets["valid"],
+            self.label_enc, self.num_classes, self.dn_number,
+            self.dn_single_pad, self.dn_label_noise_ratio,
+            self.dn_box_noise_scale,
+        )
+        attn_mask = jnp.asarray(
+            cdn_self_attn_mask(self.num_queries, self.dn_single_pad, groups)
+        )
+
+        hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal = (
+            self._transformer_pass(
+                first_half(src_flat), first_half(mask_flat),
+                first_half(pos_flat), first_half(valid_ratios),
+                spatial_shapes, cdn.query_label_embed.astype(self.dtype),
+                cdn.query_bbox_unsig, attn_mask, deterministic,
+            )
+        )
+        logits_all, coords_all = self._head_outputs(hs, refs)
+        # split DN part from matching part (dn_components.py:140-154)
+        out["dn_logits"] = logits_all[:, :, :pad_size]
+        out["dn_boxes"] = coords_all[:, :, :pad_size]
+        out["dn_valid"] = cdn.dn_valid
+        logits = logits_all[:, :, pad_size:]
+        coords = coords_all[:, :, pad_size:]
+        out["pred_logits"] = logits[-1]
+        out["pred_boxes"] = coords[-1]
+        out["aux_logits"] = logits[:-1]
+        out["aux_boxes"] = coords[:-1]
+        out["interm_logits"] = self.enc_out_class_head(tgt_undetach)
+        out["interm_boxes"] = jax.nn.sigmoid(ref_unsig_undetach)
+        out["init_box_proposal"] = init_box_proposal
+
+        # ---------------- DA branch ---------------------------------------
+        # 1. image-level discriminator over all domains (dino.py:350-359)
+        d_logits = []
+        for s in srcs:
+            d = self.d_img(grad_reverse(s))  # [B, h, w, 1]
+            d_logits.append(d.reshape(B, -1, 1))
+        out["da_backbone"] = jnp.concatenate(d_logits, axis=1)  # [B, S, 1]
+
+        # 2. source prototypes from matching queries (dino.py:362-374)
+        proto_src = class_prototypes(
+            hs[-1][:, pad_size:], out["pred_logits"], global_proto, amount
+        )
+
+        # 3. target-domain pass (no DN), prototypes (dino.py:378-393)
+        hs_t, refs_t, tgt_undetach_t, ref_unsig_undetach_t, init_prop_t = (
+            self._transformer_pass(
+                second_half(src_flat), second_half(mask_flat),
+                second_half(pos_flat), second_half(valid_ratios),
+                spatial_shapes, None, None, None, deterministic,
+            )
+        )
+        logits_t_last = self.class_head(hs_t[-1])
+        proto_tgt = class_prototypes(
+            hs_t[-1], logits_t_last, proto_src.new_global_proto,
+            proto_src.new_amount,
+        )
+
+        protos = jnp.concatenate(
+            [proto_src.prototypes, proto_tgt.prototypes], axis=0
+        )  # [2K, C]
+        out["da_protos"] = self.proto_d(grad_reverse(protos))  # [2K, 1]
+        out["da_class_map_source"] = proto_src.valid_class_map
+        out["da_class_map_target"] = proto_tgt.valid_class_map
+        out["da_query_source"] = proto_src.prototypes
+        out["da_query_target"] = proto_tgt.prototypes
+        out["new_global_proto"] = proto_tgt.new_global_proto
+        out["new_amount"] = proto_tgt.new_amount
+
+        if self_training:
+            logits_t, coords_t = self._head_outputs(hs_t, refs_t)
+            out["pred_logits_target"] = logits_t[-1]
+            out["pred_boxes_target"] = coords_t[-1]
+            out["aux_logits_target"] = logits_t[:-1]
+            out["aux_boxes_target"] = coords_t[:-1]
+            out["interm_logits_target"] = self.enc_out_class_head(
+                tgt_undetach_t
+            )
+            out["interm_boxes_target"] = jax.nn.sigmoid(ref_unsig_undetach_t)
+        return out
