@@ -1,0 +1,140 @@
+"""COCO-format detection datasets + source/target DA pairing.
+
+Capability match for datasets/DAcoco.py (CocoDetection :365-398, DADataset
+:647-670, per-direction builders :672-880) and datasets/coco.py single-domain
+builders. The COCO JSON is parsed directly (no pycocotools dependency — this
+environment doesn't ship it); annotations are filtered like
+ConvertCocoPolysToMask (DAcoco.py:418-480): drop iscrowd, clamp boxes, drop
+degenerate ones. Labels use the raw category_id, as the reference does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from .strong_aug import strong_augment
+
+
+class CocoIndex:
+    """Minimal in-memory COCO index (replaces pycocotools.coco.COCO)."""
+
+    def __init__(self, ann_file: str):
+        with open(ann_file) as f:
+            data = json.load(f)
+        self.images = {im["id"]: im for im in data["images"]}
+        self.image_ids = [im["id"] for im in data["images"]]
+        self.cats = {c["id"]: c for c in data.get("categories", [])}
+        self.anns_by_image: Dict[int, List[dict]] = {
+            i: [] for i in self.image_ids
+        }
+        for a in data.get("annotations", []):
+            if a["image_id"] in self.anns_by_image:
+                self.anns_by_image[a["image_id"]].append(a)
+
+
+class CocoDetectionDataset:
+    """Single-domain detection dataset yielding (PIL image, target dict)."""
+
+    def __init__(self, img_dir: str, ann_file: str):
+        self.img_dir = img_dir
+        self.index = CocoIndex(ann_file)
+
+    def __len__(self):
+        return len(self.index.image_ids)
+
+    def load(self, i: int):
+        image_id = self.index.image_ids[i]
+        info = self.index.images[image_id]
+        path = os.path.join(self.img_dir, info["file_name"])
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+
+        boxes, labels = [], []
+        for a in self.index.anns_by_image[image_id]:
+            if a.get("iscrowd", 0):
+                continue
+            x, y, bw, bh = a["bbox"]  # xywh
+            x0 = max(0.0, min(x, w))
+            y0 = max(0.0, min(y, h))
+            x1 = max(0.0, min(x + bw, w))
+            y1 = max(0.0, min(y + bh, h))
+            if x1 <= x0 or y1 <= y0:
+                continue
+            boxes.append([x0, y0, x1, y1])
+            labels.append(a["category_id"])
+        target = {
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int64),
+            "image_id": image_id,
+            "orig_size": np.array([h, w], np.int64),
+            "size": np.array([h, w], np.int64),
+        }
+        return img, target
+
+
+class DAPairedDataset:
+    """Zip of source + target datasets with modulo indexing, len = max
+    (DADataset, DAcoco.py:647-670). Returns (src_img, src_strong, src_tgt,
+    tgt_img, tgt_strong, tgt_tgt)."""
+
+    def __init__(self, source: CocoDetectionDataset,
+                 target: CocoDetectionDataset, strong_aug: bool = True):
+        self.source = source
+        self.target = target
+        self.strong_aug = strong_aug
+
+    def __len__(self):
+        return max(len(self.source), len(self.target))
+
+    def load(self, i: int, rng: random.Random):
+        s_img, s_tgt = self.source.load(i % len(self.source))
+        t_img, t_tgt = self.target.load(i % len(self.target))
+        # strong view: photometric only, target-domain (and source twin kept
+        # identical — the reference also strong-augments the source twin in
+        # make_coco_strong_transforms pipelines; the student consumes both)
+        s_strong = strong_augment(s_img, rng) if self.strong_aug else s_img
+        t_strong = strong_augment(t_img, rng) if self.strong_aug else t_img
+        return s_img, s_strong, s_tgt, t_img, t_strong, t_tgt
+
+
+# -----------------------------------------------------------------------
+# dataset registry — mirrors datasets/__init__.py:21-45 dispatch and the
+# per-direction builders (paths are configured, not hardcoded-blank).
+# -----------------------------------------------------------------------
+def build_dataset(
+    image_set: str,
+    dataset_file: str,
+    data_root: str,
+    strong_aug: bool = True,
+):
+    """image_set: 'train' (paired DA) or 'val' (target-domain eval).
+
+    Expected layout under data_root (documented equivalents of the
+    reference's hardcoded PATHS dicts, DAcoco.py:672-880):
+      <direction>/source/{images,annotations.json}
+      <direction>/target/{images,annotations.json}
+      <direction>/val/{images,annotations.json}
+    """
+    d = os.path.join(data_root, dataset_file)
+    if image_set == "train":
+        src = CocoDetectionDataset(
+            os.path.join(d, "source/images"),
+            os.path.join(d, "source/annotations.json"),
+        )
+        tgt = CocoDetectionDataset(
+            os.path.join(d, "target/images"),
+            os.path.join(d, "target/annotations.json"),
+        )
+        return DAPairedDataset(src, tgt, strong_aug)
+    if image_set == "val":
+        return CocoDetectionDataset(
+            os.path.join(d, "val/images"),
+            os.path.join(d, "val/annotations.json"),
+        )
+    raise ValueError(image_set)

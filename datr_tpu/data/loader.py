@@ -1,0 +1,152 @@
+"""Batch assembly: paired DA batches and eval batches with static shapes.
+
+Replaces util/misc.py collate_fn_da (:291-300) + DataLoader workers: the
+paired batch layout is [source images ; target images] along the batch axis
+(the reference concatenates source+target into one NestedTensor), every image
+padded to one static canvas, targets padded to max_boxes. Background threads
+prefetch batches so host augmentation overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .transforms import DATrainTransform, EvalTransform, finalize_example
+
+
+def _stack(dicts, key):
+    return np.stack([d[key] for d in dicts])
+
+
+def make_da_loader(
+    dataset,
+    batch_size: int,  # images per domain per batch (reference bs=2 total)
+    canvas_hw,
+    transform: DATrainTransform,
+    max_boxes: int = 100,
+    seed: int = 0,
+    shuffle: bool = True,
+    num_threads: int = 4,
+    epoch: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields batches:
+      images        [2b, H, W, 3] — first b source (weak), then b target (weak)
+      images_strong [2b, H, W, 3] — strong views, same geometry
+      pad_mask      [2b, H, W]
+      boxes/labels/valid  [b, max_boxes, ...]  (source GT)
+      real_sizes    [b, 2] — target-half unpadded (h, w), for pseudo labels
+    """
+    n = len(dataset)
+    order = list(range(n))
+    rng = random.Random(seed + epoch)
+    if shuffle:
+        rng.shuffle(order)
+
+    def load_one(idx, seed_i):
+        r = random.Random(seed_i)
+        s_img, s_strong, s_tgt, t_img, t_strong, t_tgt = dataset.load(idx, r)
+        s_img, s_strong, s_tgt = transform(s_img, s_strong, s_tgt, r)
+        # the same transform instance re-rolls geometry for the target pair
+        t_img, t_strong, t_tgt = transform(t_img, t_strong, t_tgt, r)
+        s = finalize_example(s_img, s_tgt, canvas_hw, max_boxes)
+        ss = finalize_example(s_strong, None, canvas_hw, max_boxes)
+        t = finalize_example(t_img, t_tgt, canvas_hw, max_boxes)
+        ts = finalize_example(t_strong, None, canvas_hw, max_boxes)
+        return s, ss, t, ts
+
+    def assemble(items):
+        s, ss, t, ts = zip(*items)
+        return {
+            "images": np.concatenate(
+                [_stack(s, "image"), _stack(t, "image")]
+            ),
+            "images_strong": np.concatenate(
+                [_stack(ss, "image"), _stack(ts, "image")]
+            ),
+            "pad_mask": np.concatenate(
+                [_stack(s, "pad_mask"), _stack(t, "pad_mask")]
+            ),
+            "boxes": _stack(s, "boxes"),
+            "labels": _stack(s, "labels"),
+            "valid": _stack(s, "valid"),
+            "real_sizes": _stack(t, "real_size"),
+        }
+
+    batches = [
+        order[i : i + batch_size]
+        for i in range(0, n - batch_size + 1, batch_size)
+    ]
+
+    q: queue.Queue = queue.Queue(maxsize=max(2, num_threads))
+    stop = object()
+
+    def worker(batch_indices_chunk, base_seed):
+        for bi, idxs in batch_indices_chunk:
+            items = [load_one(idx, base_seed + bi * 1000 + j)
+                     for j, idx in enumerate(idxs)]
+            q.put((bi, assemble(items)))
+
+    enumerated = list(enumerate(batches))
+    chunks = [enumerated[i::num_threads] for i in range(num_threads)]
+    threads = [
+        threading.Thread(
+            target=worker, args=(c, seed + 7919 * epoch), daemon=True
+        )
+        for c in chunks if c
+    ]
+    for t in threads:
+        t.start()
+
+    def gen():
+        buf = {}
+        want = 0
+        done = 0
+        total = len(batches)
+        while done < total:
+            bi, b = q.get()
+            buf[bi] = b
+            while want in buf:
+                yield buf.pop(want)
+                want += 1
+                done += 1
+
+    return gen()
+
+
+def make_eval_loader(
+    dataset,
+    batch_size: int,
+    canvas_hw,
+    transform: EvalTransform,
+    max_boxes: int = 100,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Eval batches with image ids + original sizes (engine.py:349-421).
+    The tail batch is padded by repeating the last image; `batch_valid`
+    marks real entries."""
+    n = len(dataset)
+    for i in range(0, n, batch_size):
+        idxs = list(range(i, min(i + batch_size, n)))
+        valid = np.zeros((batch_size,), bool)
+        valid[: len(idxs)] = True
+        while len(idxs) < batch_size:
+            idxs.append(idxs[-1])
+        items = []
+        for idx in idxs:
+            img, tgt = dataset.load(idx)
+            img, tgt = transform(img, tgt)
+            items.append(finalize_example(img, tgt, canvas_hw, max_boxes))
+        yield {
+            "images": _stack(items, "image"),
+            "pad_mask": _stack(items, "pad_mask"),
+            "orig_sizes": _stack(items, "orig_size").astype(np.float32),
+            "image_ids": _stack(items, "image_id"),
+            "batch_valid": valid,
+            "boxes": _stack(items, "boxes"),
+            "labels": _stack(items, "labels"),
+            "valid": _stack(items, "valid"),
+        }

@@ -1,0 +1,110 @@
+"""Strong photometric augmentation for the target domain (teacher-student).
+
+Capability match for make_coco_strong_transforms (datasets/DAcoco.py:348-361):
+RandomApply(ColorJitter(.4, .4, .4, .1), p=.8) + RandomGrayscale(.2) +
+RandomApply(GaussianBlur(sigma in [.1, 2]), p=.5). Photometric only — applied
+to the PIL image before the shared geometric pipeline, so teacher (weak) and
+student (strong) views stay geometrically aligned.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from PIL import Image, ImageFilter
+
+
+def _adjust_brightness(arr, f):
+    return arr * f
+
+
+def _adjust_contrast(arr, f):
+    mean = arr.mean(axis=(0, 1), keepdims=True)
+    return (arr - mean) * f + mean
+
+
+def _adjust_saturation(arr, f):
+    gray = arr @ np.array([0.299, 0.587, 0.114], np.float32)
+    gray = gray[..., None]
+    return (arr - gray) * f + gray
+
+
+def _adjust_hue(arr, shift):
+    """shift in [-0.5, 0.5] turns of the hue wheel (HSV roll)."""
+    import colorsys  # noqa: F401  (documentation only — vectorized below)
+
+    maxc = arr.max(-1)
+    minc = arr.min(-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    dz = np.maximum(delta, 1e-12)
+    h = np.where(
+        maxc == r, ((g - b) / dz) % 6.0,
+        np.where(maxc == g, (b - r) / dz + 2.0, (r - g) / dz + 4.0),
+    ) / 6.0
+    h = np.where(delta == 0, 0.0, h)
+    h = (h + shift) % 1.0
+
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    out = np.zeros_like(arr)
+    conds = [
+        (v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q),
+    ]
+    for k, (rr, gg, bb) in enumerate(conds):
+        m = i == k
+        out[..., 0] = np.where(m, rr, out[..., 0])
+        out[..., 1] = np.where(m, gg, out[..., 1])
+        out[..., 2] = np.where(m, bb, out[..., 2])
+    return out
+
+
+def color_jitter(
+    img: Image.Image, rng: random.Random,
+    brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1,
+) -> Image.Image:
+    arr = np.asarray(img, np.float32) / 255.0
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
+        ops.append(lambda a: _adjust_brightness(a, f))
+    if contrast > 0:
+        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+        ops.append(lambda a: _adjust_contrast(a, f))
+    if saturation > 0:
+        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+        ops.append(lambda a: _adjust_saturation(a, f))
+    if hue > 0:
+        s = rng.uniform(-hue, hue)
+        ops.append(lambda a: _adjust_hue(a, s))
+    rng.shuffle(ops)
+    for op in ops:
+        arr = op(arr)
+    arr = np.clip(arr, 0.0, 1.0)
+    return Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8))
+
+
+def to_grayscale(img: Image.Image) -> Image.Image:
+    return img.convert("L").convert("RGB")
+
+
+def gaussian_blur(img: Image.Image, sigma: float) -> Image.Image:
+    return img.filter(ImageFilter.GaussianBlur(radius=sigma))
+
+
+def strong_augment(img: Image.Image, rng: random.Random) -> Image.Image:
+    """The full strong-aug chain (DAcoco.py:348-361)."""
+    if rng.random() < 0.8:
+        img = color_jitter(img, rng)
+    if rng.random() < 0.2:
+        img = to_grayscale(img)
+    if rng.random() < 0.5:
+        img = gaussian_blur(img, rng.uniform(0.1, 2.0))
+    return img

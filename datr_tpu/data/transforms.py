@@ -1,0 +1,211 @@
+"""Paired weak-augmentation pipeline (host-side, numpy/PIL).
+
+Capability match for the reference's datasets/da_transforms.py: every
+transform operates on an (img, img_strong, target) triple so the strong
+photometric view receives identical geometry (:16-290). The train pipeline is
+HFlip + RandomSelect(multi-scale resize | resize->RandomSizeCrop->resize) +
+Normalize (boxes -> normalized cxcywh); val is a single resize
+(DAcoco.py:483-582). On top, everything is padded to a STATIC canvas so XLA
+compiles one program (the reference pads per-batch to the dynamic max).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def get_size_with_aspect_ratio(
+    image_size: Tuple[int, int], size: int, max_size: Optional[int] = None
+) -> Tuple[int, int]:
+    """(w, h) -> output (h, w): short side `size`, long side capped
+    (da_transforms.py:88-106 semantics)."""
+    w, h = image_size
+    if max_size is not None:
+        min_original = float(min(w, h))
+        max_original = float(max(w, h))
+        if max_original / min_original * size > max_size:
+            size = int(round(max_size * min_original / max_original))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return h, w
+    if w < h:
+        ow = size
+        oh = int(size * h / w)
+    else:
+        oh = size
+        ow = int(size * w / h)
+    return oh, ow
+
+
+def _resize_triple(img, img_strong, target, size, max_size=None):
+    oh, ow = get_size_with_aspect_ratio(img.size, size, max_size)
+    rw, rh = ow / img.size[0], oh / img.size[1]
+    img = img.resize((ow, oh), Image.BILINEAR)
+    if img_strong is not None:
+        img_strong = img_strong.resize((ow, oh), Image.BILINEAR)
+    if target is not None and len(target.get("boxes", [])):
+        b = target["boxes"].copy()  # xyxy absolute
+        b[:, [0, 2]] *= rw
+        b[:, [1, 3]] *= rh
+        target = dict(target, boxes=b)
+    if target is not None:
+        target = dict(target, size=np.array([oh, ow], np.int64))
+    return img, img_strong, target
+
+
+def _hflip_triple(img, img_strong, target):
+    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if img_strong is not None:
+        img_strong = img_strong.transpose(Image.FLIP_LEFT_RIGHT)
+    w = img.size[0]
+    if target is not None and len(target.get("boxes", [])):
+        b = target["boxes"].copy()
+        b = b[:, [2, 1, 0, 3]] * np.array([-1, 1, -1, 1]) + np.array(
+            [w, 0, w, 0]
+        )
+        target = dict(target, boxes=b.astype(np.float32))
+    return img, img_strong, target
+
+
+def _crop_triple(img, img_strong, target, region):
+    """region: (top, left, h, w)."""
+    top, left, h, w = region
+    img = img.crop((left, top, left + w, top + h))
+    if img_strong is not None:
+        img_strong = img_strong.crop((left, top, left + w, top + h))
+    if target is not None:
+        t = dict(target, size=np.array([h, w], np.int64))
+        if len(target.get("boxes", [])):
+            b = target["boxes"].copy() - np.array([left, top, left, top],
+                                                  np.float32)
+            b[:, 0::2] = b[:, 0::2].clip(0, w)
+            b[:, 1::2] = b[:, 1::2].clip(0, h)
+            keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+            t["boxes"] = b[keep]
+            t["labels"] = target["labels"][keep]
+        target = t
+    return img, img_strong, target
+
+
+class DATrainTransform:
+    """Weak geometric pipeline applied identically to weak+strong views."""
+
+    def __init__(self, scales, max_size, scales2_resize, scales2_crop,
+                 hflip_prob=0.5):
+        self.scales = list(scales)
+        self.max_size = max_size
+        self.scales2_resize = list(scales2_resize)
+        self.scales2_crop = tuple(scales2_crop)
+        self.hflip_prob = hflip_prob
+
+    def __call__(self, img, img_strong, target, rng: random.Random):
+        if rng.random() < self.hflip_prob:
+            img, img_strong, target = _hflip_triple(img, img_strong, target)
+        if rng.random() < 0.5:
+            size = rng.choice(self.scales)
+            img, img_strong, target = _resize_triple(
+                img, img_strong, target, size, self.max_size
+            )
+        else:
+            size = rng.choice(self.scales2_resize)
+            img, img_strong, target = _resize_triple(
+                img, img_strong, target, size, None
+            )
+            # RandomSizeCrop(min, max) (da_transforms.py:179)
+            w, h = img.size
+            cw = rng.randint(self.scales2_crop[0],
+                             min(w, self.scales2_crop[1]))
+            ch = rng.randint(self.scales2_crop[0],
+                             min(h, self.scales2_crop[1]))
+            cw, ch = min(cw, w), min(ch, h)
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
+            img, img_strong, target = _crop_triple(
+                img, img_strong, target, (top, left, ch, cw)
+            )
+            size = rng.choice(self.scales)
+            img, img_strong, target = _resize_triple(
+                img, img_strong, target, size, self.max_size
+            )
+        return img, img_strong, target
+
+
+class EvalTransform:
+    def __init__(self, size, max_size):
+        self.size = size
+        self.max_size = max_size
+
+    def __call__(self, img, target):
+        img, _, target = _resize_triple(img, None, target, self.size,
+                                        self.max_size)
+        return img, target
+
+
+def finalize_example(
+    img: Image.Image,
+    target: Optional[Dict],
+    canvas_hw: Tuple[int, int],
+    max_boxes: int,
+) -> Dict[str, np.ndarray]:
+    """Normalize + pad to the static canvas; boxes -> normalized cxcywh padded
+    to max_boxes (da_transforms.py Normalize :266-287 + static batching)."""
+    H, W = canvas_hw
+    arr = np.asarray(img, np.float32) / 255.0
+    h, w = arr.shape[0], arr.shape[1]
+    if h > H or w > W:  # canvas must fit the largest aug size
+        scale = min(H / h, W / w)
+        nh, nw = int(h * scale), int(w * scale)
+        img2 = img.resize((nw, nh), Image.BILINEAR)
+        arr = np.asarray(img2, np.float32) / 255.0
+        if target is not None and len(target.get("boxes", [])):
+            b = target["boxes"].copy()
+            b *= scale
+            target = dict(target, boxes=b)
+        h, w = nh, nw
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+    canvas = np.zeros((H, W, 3), np.float32)
+    canvas[:h, :w] = arr
+    pad_mask = np.ones((H, W), bool)
+    pad_mask[:h, :w] = False
+
+    out = {
+        "image": canvas,
+        "pad_mask": pad_mask,
+        "real_size": np.array([h, w], np.int64),
+    }
+    if target is not None:
+        boxes = np.zeros((max_boxes, 4), np.float32)
+        labels = np.zeros((max_boxes,), np.int32)
+        valid = np.zeros((max_boxes,), bool)
+        tb = target.get("boxes", np.zeros((0, 4), np.float32))
+        tl = target.get("labels", np.zeros((0,), np.int64))
+        n = min(len(tb), max_boxes)
+        if n:
+            b = tb[:n].astype(np.float32)
+            # xyxy absolute -> normalized cxcywh relative to the REAL
+            # (unpadded) size, matching the reference Normalize
+            cxcywh = np.stack(
+                [
+                    (b[:, 0] + b[:, 2]) / 2.0 / w,
+                    (b[:, 1] + b[:, 3]) / 2.0 / h,
+                    (b[:, 2] - b[:, 0]) / w,
+                    (b[:, 3] - b[:, 1]) / h,
+                ],
+                axis=1,
+            )
+            boxes[:n] = cxcywh
+            labels[:n] = tl[:n]
+            valid[:n] = True
+        out.update(boxes=boxes, labels=labels, valid=valid)
+        if "image_id" in target:
+            out["image_id"] = np.int64(target["image_id"])
+        if "orig_size" in target:
+            out["orig_size"] = np.asarray(target["orig_size"], np.int64)
+    return out

@@ -54,8 +54,14 @@ def detection_losses(
     assign: jnp.ndarray,  # [B, T] matched query per target
     num_boxes: jnp.ndarray,  # scalar
     focal_alpha: float,
+    img_mask: jnp.ndarray | None = None,  # [B] exclude whole images
 ) -> Dict[str, jnp.ndarray]:
     B, N, K = logits.shape
+    if img_mask is None:
+        img_mask = jnp.ones((B,), jnp.float32)
+    # Images excluded wholesale (reference self-training drops images with
+    # zero pseudo boxes from the target loss, self_training_utils.py:103-137).
+    gt_valid = gt_valid & (img_mask > 0)[:, None]
     valid_f = gt_valid.astype(jnp.float32)
     assign_safe = jnp.where(gt_valid, assign, 0)
     b_idx = jnp.arange(B)[:, None]
@@ -63,11 +69,10 @@ def detection_losses(
     # --- labels ---
     onehot_t = jax.nn.one_hot(gt_labels, K) * valid_f[..., None]
     target_onehot = jnp.zeros((B, N, K)).at[b_idx, assign_safe].add(onehot_t)
-    loss_ce = (
-        sigmoid_focal_loss(logits.astype(jnp.float32), target_onehot,
-                           focal_alpha).sum()
-        / num_boxes
-    )
+    focal = sigmoid_focal_loss(
+        logits.astype(jnp.float32), target_onehot, focal_alpha
+    ) * img_mask[:, None, None]
+    loss_ce = focal.sum() / num_boxes
 
     # --- boxes ---
     src_boxes = jnp.take_along_axis(
@@ -106,7 +111,8 @@ def detection_losses(
 
 
 def match_and_losses(
-    logits, boxes, gt_labels, gt_boxes, gt_valid, num_boxes, cfg: CriterionCfg
+    logits, boxes, gt_labels, gt_boxes, gt_valid, num_boxes,
+    cfg: CriterionCfg, img_mask=None,
 ):
     assign = batch_match(
         jax.lax.stop_gradient(logits.astype(jnp.float32)),
@@ -117,7 +123,7 @@ def match_and_losses(
     )
     return detection_losses(
         logits, boxes, gt_labels, gt_boxes, gt_valid, assign, num_boxes,
-        cfg.focal_alpha,
+        cfg.focal_alpha, img_mask,
     )
 
 
@@ -237,14 +243,18 @@ def criterion(
     cfg: CriterionCfg,
     target_domain: bool = False,
     num_boxes: jnp.ndarray | None = None,
+    img_mask: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Compute every loss for one domain's outputs.
 
     For the source domain, outputs uses plain keys; for the target
     (self-training) domain pass target_domain=True and the *_target keys are
     read (reference renames them, dino.py:739-746); DN/DA are skipped there.
+    img_mask [B] excludes whole images (zero-pseudo-label images).
     """
     sfx = "_target" if target_domain else ""
+    if img_mask is not None:
+        gt_valid = gt_valid & (img_mask > 0)[:, None]
     if num_boxes is None:
         num_boxes = jnp.clip(gt_valid.sum().astype(jnp.float32), 1.0, None)
 
@@ -254,7 +264,7 @@ def criterion(
     losses.update(
         match_and_losses(
             outputs["pred_logits" + sfx], outputs["pred_boxes" + sfx],
-            gt_labels, gt_boxes, gt_valid, num_boxes, cfg,
+            gt_labels, gt_boxes, gt_valid, num_boxes, cfg, img_mask,
         )
     )
 
@@ -264,7 +274,7 @@ def criterion(
 
     def one_layer(lg, bx):
         return match_and_losses(
-            lg, bx, gt_labels, gt_boxes, gt_valid, num_boxes, cfg
+            lg, bx, gt_labels, gt_boxes, gt_valid, num_boxes, cfg, img_mask
         )
 
     aux = jax.vmap(one_layer)(aux_logits, aux_boxes)
@@ -276,7 +286,7 @@ def criterion(
     # interm (two-stage encoder output, dino.py:873-893)
     interm = match_and_losses(
         outputs["interm_logits" + sfx], outputs["interm_boxes" + sfx],
-        gt_labels, gt_boxes, gt_valid, num_boxes, cfg,
+        gt_labels, gt_boxes, gt_valid, num_boxes, cfg, img_mask,
     )
     losses.update({f"{k}_interm": v for k, v in interm.items()})
 

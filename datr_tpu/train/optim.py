@@ -1,0 +1,74 @@
+"""Optimizer with parameter groups (reference: util/get_param_dicts.py:15-32
+'default' type + main.py AdamW) via optax.multi_transform:
+
+- 'frozen'   : frozen-BN statistics + backbone stem/layer1 (the reference
+               marks these requires_grad=False, backbone.py:79-81) -> zero.
+- 'backbone' : backbone layer2..4 -> lr_backbone (1e-5).
+- 'main'     : everything else -> lr (1e-4).
+
+Both trainable groups use AdamW with the config weight decay and global-norm
+gradient clipping (main.py clip_max_norm 0.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import optax
+
+
+def _label_for_path(path: tuple) -> str:
+    keys = [str(getattr(p, "key", p)) for p in path]
+    try:
+        b = keys.index("backbone")
+    except ValueError:
+        return "main"
+    sub = keys[b + 1] if len(keys) > b + 1 else ""
+    # stem + layer1 are frozen (backbone.py:79-81)
+    if sub in ("conv1", "bn1") or sub.startswith("layer1_"):
+        return "frozen"
+    # frozen-BN variables (affine + running stats) never update anywhere
+    # (torch registers them as buffers / requires_grad=False)
+    leaf_parent = keys[-2] if len(keys) >= 2 else ""
+    if leaf_parent.startswith(("bn", "downsample_bn")):
+        return "frozen"
+    return "backbone"
+
+
+def param_labels(params) -> Any:
+    import jax
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _label_for_path(path), params
+    )
+
+
+def make_optimizer(
+    params,
+    lr: float = 1e-4,
+    lr_backbone: float = 1e-5,
+    weight_decay: float = 1e-4,
+    clip_max_norm: float = 0.1,
+    lr_drop_factor: float = 0.1,
+    lr_drop_step: int | None = None,
+) -> optax.GradientTransformation:
+    def adamw(learning_rate):
+        if lr_drop_step is not None:
+            schedule = optax.piecewise_constant_schedule(
+                learning_rate, {lr_drop_step: lr_drop_factor}
+            )
+        else:
+            schedule = learning_rate
+        return optax.adamw(schedule, weight_decay=weight_decay)
+
+    tx = optax.multi_transform(
+        {
+            "main": adamw(lr),
+            "backbone": adamw(lr_backbone),
+            "frozen": optax.set_to_zero(),
+        },
+        param_labels(params),
+    )
+    if clip_max_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    return tx

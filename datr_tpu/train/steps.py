@@ -1,0 +1,152 @@
+"""Jitted training/eval steps.
+
+Equivalents of the reference engine loops (engine.py:train_one_epoch :29,
+train_one_epoch_with_self_training :146, evaluate :349) with the per-step body
+compiled once: forward (paired DA batch) -> criterion -> grad -> AdamW update
+-> prototype state carry. EMA updates are separate pure functions invoked at
+the reference's cadence (per epoch, main.py:382-386).
+
+Batches are dicts of fixed-shape arrays:
+  images   [B, H, W, 3]  first half source, second half target
+  pad_mask [B, H, W]
+  boxes    [B//2, T, 4] | labels [B//2, T] | valid [B//2, T]   (source GT)
+  (self-training) images_strong [B, H, W, 3], real_sizes [B//2, 2]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .criterion import CriterionCfg, criterion, weighted_total
+from .pseudo import pseudo_labels_from_outputs
+from .state import TrainState
+
+
+def _split_rng(state: TrainState):
+    rng, sub = jax.random.split(state.rng)
+    return rng, sub
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx", "ccfg"),
+                   donate_argnums=(0,))
+def train_step_burnin(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    model,
+    tx,
+    ccfg: CriterionCfg,
+    weight_dict: Dict[str, float],
+):
+    rng, dn_rng = _split_rng(state)
+
+    def loss_fn(params):
+        out = model.apply(
+            params, batch["images"], batch["pad_mask"],
+            targets={k: batch[k] for k in ("boxes", "labels", "valid")},
+            dn_rng=dn_rng, train=True, self_training=False,
+            global_proto=state.global_proto, amount=state.amount,
+        )
+        losses = criterion(out, batch["labels"], batch["boxes"],
+                           batch["valid"], ccfg)
+        total = weighted_total(losses, weight_dict)
+        return total, (losses, out["new_global_proto"], out["new_amount"])
+
+    (total, (losses, new_proto, new_amount)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+    metrics = {"loss": total, **losses}
+    new_state = state.replace(
+        params=new_params, opt_state=new_opt, rng=rng,
+        global_proto=new_proto, amount=new_amount, step=state.step + 1,
+    )
+    return new_state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "tx", "ccfg", "canvas_hw", "num_select",
+                     "max_pseudo"),
+    donate_argnums=(0,),
+)
+def train_step_self_training(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    model,
+    tx,
+    ccfg: CriterionCfg,
+    weight_dict: Dict[str, float],
+    class_thresholds: jnp.ndarray,  # [K]
+    canvas_hw=(800, 1344),
+    num_select: int = 300,
+    max_pseudo: int = 100,
+):
+    rng, dn_rng = _split_rng(state)
+    B = batch["images"].shape[0]
+    half = B // 2
+
+    # --- teacher pseudo-labels on weak-aug target half (engine.py:199-215) ---
+    tgt_images = batch["images"][half:]
+    tgt_mask = batch["pad_mask"][half:]
+    teacher_out = model.apply(
+        state.ema_teacher, tgt_images, tgt_mask, train=False
+    )
+    p_boxes, p_labels, p_valid, img_has = pseudo_labels_from_outputs(
+        jax.lax.stop_gradient(teacher_out["pred_logits"]),
+        jax.lax.stop_gradient(teacher_out["pred_boxes"]),
+        batch["real_sizes"], canvas_hw, class_thresholds,
+        num_select=num_select, max_pseudo=max_pseudo,
+    )
+
+    def loss_fn(params):
+        out = model.apply(
+            params, batch["images_strong"], batch["pad_mask"],
+            targets={k: batch[k] for k in ("boxes", "labels", "valid")},
+            dn_rng=dn_rng, train=True, self_training=True,
+            global_proto=state.global_proto, amount=state.amount,
+        )
+        src_losses = criterion(out, batch["labels"], batch["boxes"],
+                               batch["valid"], ccfg)
+        tgt_losses = criterion(
+            out, p_labels, p_boxes, p_valid, ccfg, target_domain=True,
+            img_mask=img_has.astype(jnp.float32),
+        )
+        total = weighted_total(src_losses, weight_dict) + weight_dict.get(
+            "loss_self_training", 1.0
+        ) * weighted_total(tgt_losses, weight_dict)
+        aux = (src_losses, tgt_losses, out["new_global_proto"],
+               out["new_amount"])
+        return total, aux
+
+    (total, (src_l, tgt_l, new_proto, new_amount)), grads = (
+        jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+    metrics = {"loss": total, "num_pseudo": p_valid.sum()}
+    metrics.update(src_l)
+    metrics.update({f"{k}_target": v for k, v in tgt_l.items()})
+    new_state = state.replace(
+        params=new_params, opt_state=new_opt, rng=rng,
+        global_proto=new_proto, amount=new_amount, step=state.step + 1,
+    )
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("model", "num_select"))
+def eval_step(params, batch, model, num_select: int = 300):
+    """Forward + postprocess for evaluation (engine.py:349-421)."""
+    from ..models.postprocess import postprocess
+
+    out = model.apply(params, batch["images"], batch["pad_mask"], train=False)
+    return postprocess(
+        out["pred_logits"], out["pred_boxes"], batch["orig_sizes"],
+        num_select=num_select,
+    )
