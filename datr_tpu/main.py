@@ -1,0 +1,211 @@
+"""Training driver CLI.
+
+Capability match for the reference main.py (:87-563) + main_teacher.py:
+config load + CLI overrides, model/criterion build, datasets, the
+burn-in -> self-training epoch schedule, per-epoch eval of student + EMA
+teacher + best-EMA model, best-checkpoint families keyed on AP50, auto-resume,
+JSON log lines.
+
+Usage:
+  python -m datr_tpu.main --config_file configs/DA/Cityscapes2FoggyCityscapes\
+/DINO_4scale_C2F.py --data_root /data --output_dir runs/c2f \
+      [--options lr=2e-4 ...] [--eval] [--resume path] [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import apply_overrides, load_config
+from .data.coco import build_dataset
+from .data.loader import make_da_loader, make_eval_loader
+from .data.synthetic import SyntheticDetectionDataset, synthetic_da_pair
+from .data.transforms import DATrainTransform, EvalTransform
+from .engine import (
+    evaluate,
+    train_one_epoch,
+    train_one_epoch_self_training,
+    update_emas_per_epoch,
+)
+from .models import build_model
+from .train.checkpoint import BestTracker, maybe_auto_resume, save_checkpoint
+from .train.optim import make_optimizer
+from .train.state import create_train_state
+from .utils.logger import setup_logger
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("DATR-TPU trainer", add_help=False)
+    p.add_argument("--config_file", "-c", required=True)
+    p.add_argument("--options", nargs="+", default=[])
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--output_dir", default="runs/exp")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--resume", default="")
+    p.add_argument("--pretrain_model_path", default="")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (smoke runs)")
+    p.add_argument("--debug", action="store_true",
+                   help="break epochs after a few iters (engine.py:125-128)")
+    return p
+
+
+def main(args):
+    cfg = load_config(args.config_file)
+    cfg = apply_overrides(cfg, args.options)
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = setup_logger(args.output_dir, process_index=jax.process_index())
+    logger.info(f"config: {json.dumps(dict(cfg), default=str)}")
+    with open(os.path.join(args.output_dir, "config_args_all.json"), "w") as f:
+        json.dump({**dict(cfg), **vars(args)}, f, default=str, indent=1)
+
+    model, ccfg, weight_dict = build_model(cfg)
+    canvas_hw = (cfg.get("canvas_h", 800), cfg.get("canvas_w", 1344))
+    max_boxes = cfg.get("max_boxes", 100)
+
+    # --- datasets ---
+    if args.synthetic:
+        train_ds = synthetic_da_pair(
+            n_images=cfg.get("synthetic_images", 16),
+            num_classes=cfg.num_classes - 1,
+        )
+        val_ds = SyntheticDetectionDataset(
+            8, num_classes=cfg.num_classes - 1, seed=1, fog=0.35
+        )
+        categories = val_ds.categories
+    else:
+        train_ds = build_dataset("train", cfg.dataset_file, args.data_root,
+                                 cfg.get("strong_aug", True))
+        val_ds = build_dataset("val", cfg.dataset_file, args.data_root)
+        categories = sorted(val_ds.index.cats) or list(
+            range(1, cfg.num_classes)
+        )
+
+    train_tf = DATrainTransform(
+        cfg.data_aug_scales, cfg.data_aug_max_size,
+        cfg.data_aug_scales2_resize, cfg.data_aug_scales2_crop,
+    )
+    eval_tf = EvalTransform(max(cfg.data_aug_scales), cfg.data_aug_max_size)
+
+    # --- init state ---
+    rng = jax.random.PRNGKey(args.seed)
+    sample_images = jnp.zeros((2, *canvas_hw, 3))
+    sample_mask = jnp.zeros((2, *canvas_hw), bool)
+    sample_targets = dict(
+        boxes=jnp.zeros((1, max_boxes, 4)),
+        labels=jnp.zeros((1, max_boxes), jnp.int32),
+        valid=jnp.zeros((1, max_boxes), bool),
+    )
+    params = model.init(
+        rng, sample_images, sample_mask, targets=sample_targets,
+        dn_rng=rng, train=True,
+        global_proto=jnp.zeros((model.num_classes, model.hidden_dim)),
+        amount=jnp.zeros((model.num_classes,)),
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"params: {n_params / 1e6:.2f}M")
+
+    lr_drop_step = None  # epoch-level drop handled by optax schedule on steps
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    if cfg.get("lr_drop"):
+        lr_drop_step = int(cfg.lr_drop) * steps_per_epoch
+    tx = make_optimizer(
+        params, lr=cfg.lr, lr_backbone=cfg.lr_backbone,
+        weight_decay=cfg.weight_decay, clip_max_norm=cfg.clip_max_norm,
+        lr_drop_step=lr_drop_step,
+    )
+    state = create_train_state(params, tx, model.num_classes,
+                               model.hidden_dim, rng)
+
+    if args.pretrain_model_path:
+        from .train.checkpoint import load_checkpoint
+
+        loaded, _ = load_checkpoint(args.pretrain_model_path, state)
+        state = loaded
+    state, start_epoch = maybe_auto_resume(args.output_dir, state)
+
+    def make_val_loader():
+        return make_eval_loader(val_ds, cfg.batch_size, canvas_hw, eval_tf,
+                                max_boxes)
+
+    if args.eval:
+        stats = evaluate(state.params, model, make_val_loader(), categories,
+                         cfg.num_select, logger)
+        logger.info(json.dumps(stats))
+        return
+
+    best = BestTracker(args.output_dir)
+    burn_epochs = cfg.get("burn_epochs", cfg.epochs)
+    thresholds = np.full((cfg.num_classes,),
+                         cfg.get("pseudo_label_threshold", 0.3), np.float32)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        loader = make_da_loader(
+            train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
+            seed=args.seed, epoch=epoch,
+        )
+        if args.debug:
+            import itertools
+
+            loader = itertools.islice(loader, 4)
+        if epoch < burn_epochs:
+            state, train_stats = train_one_epoch(
+                state, model, tx, loader, ccfg, weight_dict, epoch, logger
+            )
+        else:
+            state, train_stats = train_one_epoch_self_training(
+                state, model, tx, loader, ccfg, weight_dict, thresholds,
+                canvas_hw, epoch, logger,
+            )
+        state = update_emas_per_epoch(state, epoch, cfg)
+
+        save_checkpoint(os.path.join(args.output_dir, "checkpoint"),
+                        jax.device_get(state), epoch)
+        if cfg.get("save_checkpoint_interval", 1) and (
+            (epoch + 1) % cfg.save_checkpoint_interval == 0
+        ):
+            save_checkpoint(
+                os.path.join(args.output_dir, f"checkpoint{epoch:04d}"),
+                jax.device_get(state), epoch,
+            )
+
+        # --- per-epoch eval: student + EMA teacher (+ best-EMA after
+        # burn-in), best families keyed on AP50 (main.py:416-515) ---
+        stats = evaluate(state.params, model, make_val_loader(), categories,
+                         cfg.num_select, logger)
+        best.update("checkpoint_best_regular", stats["ap50"],
+                    jax.device_get(state.params), epoch)
+        t_stats = evaluate(state.ema_teacher, model, make_val_loader(),
+                           categories, cfg.num_select, logger)
+        best.update("best_ema_teacher", t_stats["ap50"],
+                    jax.device_get(state.ema_teacher), epoch)
+        log_line = {
+            "epoch": epoch,
+            **{f"train_{k}": v for k, v in train_stats.items()},
+            "ap50_student": stats["ap50"],
+            "ap50_teacher": t_stats["ap50"],
+            "time": time.time() - t0,
+        }
+        if epoch >= burn_epochs:
+            b_stats = evaluate(state.best_ema, model, make_val_loader(),
+                               categories, cfg.num_select, logger)
+            best.update("best_ema_model", b_stats["ap50"],
+                        jax.device_get(state.best_ema), epoch)
+            log_line["ap50_best_ema"] = b_stats["ap50"]
+        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(log_line) + "\n")
+        logger.info(json.dumps(log_line))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("DATR-TPU", parents=[get_args_parser()])
+    main(parser.parse_args())

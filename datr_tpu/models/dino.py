@@ -475,3 +475,76 @@ class DINO(nn.Module):
             )
             out["interm_boxes_target"] = jax.nn.sigmoid(ref_unsig_undetach_t)
         return out
+
+
+def build_dino_from_config(cfg) -> DINO:
+    """Config -> model (reference: build_dino, dino.py:999-1143)."""
+    get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: getattr(
+        cfg, k, d
+    )
+    dtype = jnp.bfloat16 if get("amp_dtype", "float32") == "bfloat16" else (
+        jnp.float32
+    )
+    return DINO(
+        num_classes=get("num_classes", 91),
+        num_queries=get("num_queries", 900),
+        hidden_dim=get("hidden_dim", 256),
+        nheads=get("nheads", 8),
+        enc_layers=get("enc_layers", 6),
+        dec_layers=get("dec_layers", 6),
+        dim_feedforward=get("dim_feedforward", 2048),
+        num_feature_levels=get("num_feature_levels", 4),
+        enc_n_points=get("enc_n_points", 4),
+        dec_n_points=get("dec_n_points", 4),
+        dropout=get("dropout", 0.0),
+        backbone_name=get("backbone", "resnet50"),
+        pe_temperature_h=get("pe_temperatureH", 20),
+        pe_temperature_w=get("pe_temperatureW", 20),
+        dn_number=get("dn_number", 100) if get("use_dn", True) else 0,
+        dn_single_pad=get("dn_single_pad", 20),
+        dn_label_noise_ratio=get("dn_label_noise_ratio", 0.5),
+        dn_box_noise_scale=get("dn_box_noise_scale", 1.0),
+        dn_labelbook_size=get("dn_labelbook_size", get("num_classes", 91)),
+        two_stage_share_heads=get("two_stage_bbox_embed_share", False),
+        msda_impl=get("msda_impl", "xla"),
+        use_remat=get("use_remat", True),
+        dtype=dtype,
+    )
+
+
+from .registry import register_model  # noqa: E402
+
+
+@register_model("dino")
+def _build_dino_entry(cfg):
+    from ..train.criterion import CriterionCfg, build_weight_dict
+    from .cdn import cdn_layout
+
+    get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: getattr(
+        cfg, k, d
+    )
+    model = build_dino_from_config(cfg)
+    groups, _ = cdn_layout(model.dn_number, model.dn_single_pad)
+    ccfg = CriterionCfg(
+        num_classes=model.num_classes,
+        focal_alpha=get("focal_alpha", 0.25),
+        cost_class=get("set_cost_class", 2.0),
+        cost_bbox=get("set_cost_bbox", 5.0),
+        cost_giou=get("set_cost_giou", 2.0),
+        dn_single_pad=model.dn_single_pad,
+        dn_groups=groups,
+    )
+    weight_dict = build_weight_dict(
+        dec_layers=model.dec_layers,
+        cls_loss_coef=get("cls_loss_coef", 1.0),
+        bbox_loss_coef=get("bbox_loss_coef", 5.0),
+        giou_loss_coef=get("giou_loss_coef", 2.0),
+        da_backbone_loss_coef=get("da_backbone_loss_coef", 0.1),
+        da_proto_loss_coef=get("da_proto_loss_coef", 0.1),
+        da_global_proto_coef=get("da_global_proto_coef", 0.1),
+        interm_loss_coef=get("interm_loss_coef", 1.0),
+        no_interm_box_loss=get("no_interm_box_loss", False),
+        use_dn=get("use_dn", True),
+    )
+    weight_dict["loss_self_training"] = get("self_training_loss_coef", 1.0)
+    return model, ccfg, weight_dict

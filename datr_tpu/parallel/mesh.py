@@ -1,0 +1,119 @@
+"""Device-mesh parallelism: data parallel + tensor parallel via jax.sharding.
+
+The reference's only strategy is DDP over NCCL (main.py:156,
+DistributedSampler main.py:177-186, init_distributed_mode misc.py:487-530).
+The TPU-native equivalent needs no process bootstrap: one jit over a
+Mesh('data', 'model') with
+
+- batch axis sharded over 'data'  (== DDP; gradient psum inserted by XLA),
+- Megatron-style tensor parallelism over 'model': FFN linear1 column-split /
+  linear2 row-split, attention value/output projections head-split — XLA
+  places the all-reduces on ICI automatically.
+
+reduce_dict/metric sync (misc.py:139-163) comes for free: metrics out of a
+jit over the global batch are already global.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    arr = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(arr, ("data", "model"))
+
+
+# --- tensor-parallel rules -------------------------------------------------
+# (path regex, {ndim: PartitionSpec}). Column-split layers shard their bias
+# too; row-split layer outputs are all-reduced by XLA.
+_TP_RULES = [
+    # FFN: column-parallel then row-parallel (classic Megatron MLP)
+    (re.compile(r"ffn/linear1/kernel$"), {2: P(None, "model")}),
+    (re.compile(r"ffn/linear1/bias$"), {1: P("model")}),
+    (re.compile(r"ffn/linear2/kernel$"), {2: P("model", None)}),
+    # MSDeformAttn: head-split value/output projections
+    (re.compile(r"attn/value_proj/kernel$"), {2: P(None, "model")}),
+    (re.compile(r"attn/value_proj/bias$"), {1: P("model")}),
+    (re.compile(r"attn/output_proj/kernel$"), {2: P("model", None)}),
+    # decoder MHA head-split (flax kernels: [in, heads, hd]; out [heads, hd,
+    # out])
+    (re.compile(r"self_attn/(query|key|value)/kernel$"),
+     {3: P(None, "model", None)}),
+    (re.compile(r"self_attn/(query|key|value)/bias$"), {2: P("model", None)}),
+    (re.compile(r"self_attn/out/kernel$"), {3: P("model", None, None)}),
+]
+
+
+def _spec_for_path(path_str: str, ndim: int) -> P:
+    for rx, by_ndim in _TP_RULES:
+        if rx.search(path_str) and ndim in by_ndim:
+            return by_ndim[ndim]
+    return P()  # replicated
+
+
+def param_sharding_tree(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree for a params pytree according to the TP rules."""
+
+    def one(path, leaf):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        ps = _spec_for_path("/".join(keys), np.ndim(leaf))
+        # guard: dims must divide the tp size
+        tp = mesh.shape["model"]
+        for ax, name in enumerate(ps):
+            if name == "model" and leaf.shape[ax] % tp != 0:
+                ps = P()
+                break
+        return NamedSharding(mesh, ps)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_train_state(state: Any, mesh: Mesh) -> Any:
+    """Place a TrainState: params + all EMA trees TP-sharded, optimizer state
+    follows params automatically (same tree structure), scalars replicated."""
+    from ..train.state import TrainState
+
+    p_shard = param_sharding_tree(state.params, mesh)
+
+    def like_params(tree):
+        return jax.device_put(tree, p_shard)
+
+    repl = NamedSharding(mesh, P())
+    return TrainState(
+        params=like_params(state.params),
+        opt_state=jax.tree.map(
+            lambda x: jax.device_put(x, repl)
+            if np.ndim(x) == 0
+            else x,
+            jax.device_put(state.opt_state, repl),
+        ),
+        ema_teacher=like_params(state.ema_teacher),
+        best_ema=like_params(state.best_ema),
+        global_proto=jax.device_put(state.global_proto, repl),
+        amount=jax.device_put(state.amount, repl),
+        ema_updates=jax.device_put(state.ema_updates, repl),
+        step=jax.device_put(state.step, repl),
+        rng=jax.device_put(state.rng, repl),
+    )
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard every batch array on the leading (batch) axis over 'data'."""
+
+    def one(x):
+        spec = P("data", *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(one, batch)

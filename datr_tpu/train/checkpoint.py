@@ -1,0 +1,83 @@
+"""Checkpoint save/restore via orbax, including the best-model families.
+
+Capability match for the reference checkpointing (main.py:395-412 per-epoch +
+interval saves; :425-515 best families keyed on AP50: checkpoint_best_regular,
+checkpoint_best_ema, best_ema_teacher, best_ema_model; auto-resume
+:226-245). One orbax PyTreeCheckpointer stores the full TrainState pytree
+(params, optimizer, all EMA tracks, prototype state, counters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: Any, epoch: int,
+                    extra: Optional[dict] = None):
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    state = jax.device_get(state)
+    _ckptr().save(path, state, force=True)
+    meta = {"epoch": epoch, **(extra or {})}
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, target: Any):
+    path = os.path.abspath(path)
+    state = _ckptr().restore(path, item=jax.device_get(target))
+    meta = {}
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def maybe_auto_resume(output_dir: str, state: Any):
+    """Resume from <output_dir>/checkpoint if present (main.py:226-245)."""
+    path = os.path.join(output_dir, "checkpoint")
+    if os.path.isdir(path):
+        state, meta = load_checkpoint(path, state)
+        return state, int(meta.get("epoch", -1)) + 1
+    return state, 0
+
+
+class BestTracker:
+    """Track the best AP50 per family and save on improvement
+    (util/utils.py BestMetricHolder :398-470 + main.py best families)."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        self.best: dict = {}
+
+    def update(self, family: str, ap50: float, tree: Any, epoch: int) -> bool:
+        prev = self.best.get(family, -1.0)
+        if ap50 > prev:
+            self.best[family] = float(ap50)
+            save_checkpoint(
+                os.path.join(self.output_dir, family), tree, epoch,
+                {"ap50": float(ap50)},
+            )
+            with open(os.path.join(self.output_dir, "log_best.txt"), "a") as f:
+                f.write(json.dumps(
+                    {"family": family, "epoch": epoch, "ap50": float(ap50)}
+                ) + "\n")
+            return True
+        return False

@@ -54,9 +54,15 @@ def setup():
     return model, tx, state, batch, ccfg, wd
 
 
+def _copy_state(state):
+    return jax.tree.map(jnp.copy, state)
+
+
 def test_burnin_step(setup):
-    model, tx, state, batch, ccfg, wd = setup
+    model, tx, state0, batch, ccfg, wd = setup
+    state = _copy_state(state0)  # train_step donates its input state
     new_state, metrics = train_step_burnin(state, batch, model, tx, ccfg, wd)
+    state = state0
     assert np.isfinite(float(metrics["loss"]))
     # params actually changed
     d = jax.tree.map(lambda a, b: jnp.abs(a - b).max(), state.params,
@@ -80,7 +86,8 @@ def test_burnin_step(setup):
 
 
 def test_self_training_step(setup):
-    model, tx, state, batch, ccfg, wd = setup
+    model, tx, state0, batch, ccfg, wd = setup
+    state = _copy_state(state0)
     thr = jnp.full((K,), 0.0)  # accept everything -> pseudo labels exist
     new_state, metrics = train_step_self_training(
         state, batch, model, tx, ccfg, wd, thr, canvas_hw=(64, 64),

@@ -1,0 +1,235 @@
+"""Convert a reference DATR/DINO PyTorch checkpoint into a datr_tpu params
+pytree (enables weight-level parity checks and serving published models).
+
+Maps the reference module tree (models/dino/dino.py + deformable_transformer
++ torchvision resnet) onto our flax parameter layout. Conv kernels transpose
+OIHW -> HWIO; Linear kernels transpose [out,in] -> [in,out].
+
+Usage:
+  python tools/convert_checkpoint.py --torch_ckpt checkpoint.pth \
+      --config configs/DA/Cityscapes2FoggyCityscapes/DINO_4scale_C2F.py \
+      --out converted_params  [--key model|ema_model]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from typing import Dict
+
+import numpy as np
+
+
+def _t_conv(w):  # OIHW -> HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _t_lin(w):  # [out, in] -> [in, out]
+    return np.transpose(w, (1, 0))
+
+
+def convert_resnet(sd: Dict[str, np.ndarray], prefix="backbone.0.body."):
+    """torchvision resnet -> our ResNet module tree."""
+    out: Dict = {}
+
+    def put(path, val):
+        d = out
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = val
+
+    def bn(src, dst):
+        put(dst + ("weight",), sd[src + ".weight"])
+        put(dst + ("bias",), sd[src + ".bias"])
+        put(dst + ("running_mean",), sd[src + ".running_mean"])
+        put(dst + ("running_var",), sd[src + ".running_var"])
+
+    put(("conv1", "kernel"), _t_conv(sd[prefix + "conv1.weight"]))
+    bn(prefix + "bn1", ("bn1",))
+    for layer in range(1, 5):
+        b = 0
+        while f"{prefix}layer{layer}.{b}.conv1.weight" in sd:
+            src = f"{prefix}layer{layer}.{b}"
+            dst = f"layer{layer}_block{b}"
+            for ci in (1, 2, 3):
+                put((dst, f"conv{ci}", "kernel"),
+                    _t_conv(sd[f"{src}.conv{ci}.weight"]))
+                bn(f"{src}.bn{ci}", (dst, f"bn{ci}"))
+            if f"{src}.downsample.0.weight" in sd:
+                put((dst, "downsample_conv", "kernel"),
+                    _t_conv(sd[f"{src}.downsample.0.weight"]))
+                bn(f"{src}.downsample.1", (dst, "downsample_bn"))
+            b += 1
+    return out
+
+
+def convert_msda(sd, src, has_heads=8):
+    return {
+        "sampling_offsets": {
+            "kernel": _t_lin(sd[f"{src}.sampling_offsets.weight"]),
+            "bias": sd[f"{src}.sampling_offsets.bias"],
+        },
+        "attention_weights": {
+            "kernel": _t_lin(sd[f"{src}.attention_weights.weight"]),
+            "bias": sd[f"{src}.attention_weights.bias"],
+        },
+        "value_proj": {
+            "kernel": _t_lin(sd[f"{src}.value_proj.weight"]),
+            "bias": sd[f"{src}.value_proj.bias"],
+        },
+        "output_proj": {
+            "kernel": _t_lin(sd[f"{src}.output_proj.weight"]),
+            "bias": sd[f"{src}.output_proj.bias"],
+        },
+    }
+
+
+def convert_mlp(sd, src, n_layers):
+    out = {}
+    for i in range(n_layers):
+        out[f"layer{i}"] = {
+            "kernel": _t_lin(sd[f"{src}.layers.{i}.weight"]),
+            "bias": sd[f"{src}.layers.{i}.bias"],
+        }
+    return out
+
+
+def convert_mha(sd, src, n_heads, d_model):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    hd = d_model // n_heads
+    w = sd[f"{src}.in_proj_weight"]  # [3*d, d]
+    b = sd[f"{src}.in_proj_bias"]
+    out = {}
+    for i, name in enumerate(("query", "key", "value")):
+        wi = w[i * d_model : (i + 1) * d_model]  # [d, d] (out, in)
+        bi = b[i * d_model : (i + 1) * d_model]
+        out[name] = {
+            "kernel": _t_lin(wi).reshape(d_model, n_heads, hd),
+            "bias": bi.reshape(n_heads, hd),
+        }
+    wo = sd[f"{src}.out_proj.weight"]  # [d, d]
+    out["out"] = {
+        "kernel": _t_lin(wo).reshape(n_heads, hd, d_model),
+        "bias": sd[f"{src}.out_proj.bias"],
+    }
+    return out
+
+
+def convert_ln(sd, src):
+    return {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+
+
+def convert_checkpoint(sd: Dict[str, np.ndarray], enc_layers=6, dec_layers=6,
+                       n_heads=8, d_model=256) -> Dict:
+    """Full state_dict -> {'params': tree} matching datr_tpu DINO."""
+    p: Dict = {}
+    p["backbone"] = convert_resnet(sd)
+
+    # input projections (dino.py:111-133: Sequential(conv, GroupNorm))
+    i = 0
+    while f"input_proj.{i}.0.weight" in sd:
+        p[f"input_proj{i}_conv"] = {
+            "kernel": _t_conv(sd[f"input_proj.{i}.0.weight"]),
+            "bias": sd[f"input_proj.{i}.0.bias"],
+        }
+        p[f"input_proj{i}_norm"] = {
+            "scale": sd[f"input_proj.{i}.1.weight"],
+            "bias": sd[f"input_proj.{i}.1.bias"],
+        }
+        i += 1
+
+    p["level_embed"] = sd["transformer.level_embed"]
+    p["tgt_embed"] = sd["transformer.tgt_embed.weight"]
+    p["label_enc"] = sd["label_enc.weight"]
+
+    for l in range(enc_layers):
+        src = f"transformer.encoder.layers.{l}"
+        p[f"enc_layer{l}"] = {
+            "self_attn": convert_msda(sd, f"{src}.self_attn"),
+            "norm1": convert_ln(sd, f"{src}.norm1"),
+            "ffn": {
+                "linear1": {"kernel": _t_lin(sd[f"{src}.linear1.weight"]),
+                            "bias": sd[f"{src}.linear1.bias"]},
+                "linear2": {"kernel": _t_lin(sd[f"{src}.linear2.weight"]),
+                            "bias": sd[f"{src}.linear2.bias"]},
+                "norm": convert_ln(sd, f"{src}.norm2"),
+            },
+        }
+    for l in range(dec_layers):
+        src = f"transformer.decoder.layers.{l}"
+        p[f"dec_layer{l}"] = {
+            "cross_attn": convert_msda(sd, f"{src}.cross_attn"),
+            "norm1": convert_ln(sd, f"{src}.norm1"),
+            "self_attn": convert_mha(sd, f"{src}.self_attn", n_heads,
+                                     d_model),
+            "norm2": convert_ln(sd, f"{src}.norm2"),
+            "ffn": {
+                "linear1": {"kernel": _t_lin(sd[f"{src}.linear1.weight"]),
+                            "bias": sd[f"{src}.linear1.bias"]},
+                "linear2": {"kernel": _t_lin(sd[f"{src}.linear2.weight"]),
+                            "bias": sd[f"{src}.linear2.bias"]},
+                "norm": convert_ln(sd, f"{src}.norm3"),
+            },
+        }
+    p["decoder_norm"] = convert_ln(sd, "transformer.decoder.norm")
+    p["ref_point_head"] = convert_mlp(sd, "transformer.decoder.ref_point_head",
+                                      2)
+    # shared heads (bbox_embed.0 == all layers when share=True)
+    p["class_head"] = {"kernel": _t_lin(sd["class_embed.0.weight"]),
+                       "bias": sd["class_embed.0.bias"]}
+    p["bbox_head"] = convert_mlp(sd, "bbox_embed.0", 3)
+    p["enc_output"] = {"kernel": _t_lin(sd["transformer.enc_output.weight"]),
+                       "bias": sd["transformer.enc_output.bias"]}
+    p["enc_output_norm"] = convert_ln(sd, "transformer.enc_output_norm")
+    p["enc_out_class_head"] = {
+        "kernel": _t_lin(sd["transformer.enc_out_class_embed.weight"]),
+        "bias": sd["transformer.enc_out_class_embed.bias"],
+    }
+    p["enc_out_bbox_head"] = convert_mlp(sd, "transformer.enc_out_bbox_embed",
+                                         3)
+    # DA heads (train-time only in the reference; may be absent in eval ckpts)
+    if "D_img.conv1.weight" in sd:
+        p["d_img"] = {
+            f"conv{i}": {"kernel": _t_conv(sd[f"D_img.conv{i}.weight"]),
+                         "bias": sd[f"D_img.conv{i}.bias"]}
+            for i in (1, 2, 3)
+        }
+        p["d_img"]["classifier"] = {
+            "kernel": _t_conv(sd["D_img.classifier.weight"]),
+            "bias": sd["D_img.classifier.bias"],
+        }
+    if "Proto_D.layers.0.weight" in sd:
+        p["proto_d"] = convert_mlp(sd, "Proto_D", 3)
+    return {"params": p}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--torch_ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--key", default="model",
+                    help="'model' or 'ema_model' inside the .pth")
+    args = ap.parse_args()
+
+    import torch
+
+    ckpt = torch.load(args.torch_ckpt, map_location="cpu",
+                      weights_only=False)
+    sd_t = ckpt.get(args.key, ckpt)
+    if hasattr(sd_t, "state_dict"):
+        sd_t = sd_t.state_dict()
+    sd = {k.replace("module.", ""): v.numpy() for k, v in sd_t.items()}
+    tree = convert_checkpoint(sd)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    tree = jax.tree.map(np.asarray, tree)
+    ocp.PyTreeCheckpointer().save(args.out, tree, force=True)
+    n = sum(x.size for x in jax.tree.leaves(tree))
+    print(f"converted {n/1e6:.2f}M params -> {args.out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
