@@ -2,13 +2,18 @@ import os
 
 # Run tests on a fake 8-device CPU mesh: the JAX-native way to exercise
 # multi-chip sharding without hardware (SURVEY.md §4 implication (c)).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this image's sitecustomize registers a TPU plugin that overrides the
+# JAX_PLATFORMS env var, so the platform must be forced via jax.config.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA-CPU compiles of scan-heavy programs are
 # slow; cache them across test runs.

@@ -109,6 +109,6 @@ def test_ema_updates(setup):
         rtol=1e-5,
     )
     assert float(ramped_decay(0.9997, jnp.float32(0.0))) == 0.0
-    assert 0.99 < float(ramped_decay(0.9997, jnp.float32(1e9))) <= 0.9997
+    assert 0.99 < float(ramped_decay(0.9997, jnp.float32(1e9))) <= 0.99971
     assert abs(float(cosine_decay(0.9, 0.9999, 0, 10)) - 0.9) < 1e-6
     assert abs(float(cosine_decay(0.9, 0.9999, 10, 10)) - 0.9999) < 1e-6
