@@ -42,11 +42,26 @@ from .transformer import (
     valid_ratios_from_mask,
 )
 
-BACKBONE_STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
-BACKBONE_CHANNELS = {  # channels of stages 1..3 (stride 8/16/32)
-    "resnet50": (512, 1024, 2048),
-    "resnet101": (512, 1024, 2048),
-}
+RESNET_STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+
+def make_backbone(name: str, dtype) -> nn.Module:
+    """Backbone factory (reference: build_backbone, backbone.py:147-219 —
+    resnet50/101, swin_*, convnext_*)."""
+    if name in RESNET_STAGES:
+        return ResNet(stage_sizes=RESNET_STAGES[name], return_stages=(1, 2, 3),
+                      dtype=dtype, name="backbone")
+    if name.startswith("swin"):
+        from .swin import SWIN_CONFIGS, SwinTransformer
+
+        return SwinTransformer(**SWIN_CONFIGS[name], dtype=dtype,
+                               name="backbone")
+    if name.startswith("convnext"):
+        from .convnext import CONVNEXT_CONFIGS, ConvNeXt
+
+        return ConvNeXt(**CONVNEXT_CONFIGS[name], dtype=dtype,
+                        name="backbone")
+    raise ValueError(f"unknown backbone {name!r}")
 
 
 class DINO(nn.Module):
@@ -78,15 +93,8 @@ class DINO(nn.Module):
 
     def setup(self):
         C = self.hidden_dim
-        if self.backbone_name not in BACKBONE_STAGES:
-            raise ValueError(f"unknown backbone {self.backbone_name!r}")
-        self.backbone = ResNet(
-            stage_sizes=BACKBONE_STAGES[self.backbone_name],
-            return_stages=(1, 2, 3),
-            dtype=self.dtype,
-            name="backbone",
-        )
-        n_backbone = len(BACKBONE_CHANNELS[self.backbone_name])
+        self.backbone = make_backbone(self.backbone_name, self.dtype)
+        n_backbone = 3  # stages 1..3 (stride 8/16/32) for every backbone
 
         projs = []
         for i in range(self.num_feature_levels):
