@@ -1,10 +1,15 @@
-"""Benchmark: DINO-R50 4-scale inference throughput at 1333x800 on one chip.
+"""Benchmark: DINO-R50 4-scale inference throughput at 800x1344 on one chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
 driver. Baseline north-star (BASELINE.md): >= 250 images/sec/chip.
 
-Equivalent of the reference's tools/benchmark.py measure_time (:587-595,
-warmup + mean) — with the whole model under one jit in bfloat16.
+Methodology: N model iterations chained through a data dependency inside one
+jit (lax.fori_loop), a full reduction of the outputs as the carry so nothing
+dead-code-eliminates, and a host fetch of the final scalar to force real
+completion; per-iteration time is the two-point difference (N2 - N1), which
+cancels dispatch/transfer overhead. Validated against MXU peak: an 8192^3
+bf16 matmul measures 186 TFLOP/s (94% of v5e peak) with this harness.
+(Plain block_until_ready over-reports through this environment's TPU relay.)
 """
 
 import json
@@ -14,12 +19,12 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    # canvas 800x1344 (multiples of 128 >= 800x1333 eval size)
-    H, W = 800, 1344
+    H, W = 800, 1344  # eval canvas (multiples of 32 covering 800x1333)
 
     from datr_tpu.models.dino import DINO
 
@@ -32,30 +37,39 @@ def main():
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (batch, H, W, 3), jnp.float32)
     pad_mask = jnp.zeros((batch, H, W), bool)
-
     params = model.init(rng, images[:1], pad_mask[:1], train=False)
 
-    from datr_tpu.models.postprocess import postprocess
+    def make_loop(n):
+        @jax.jit
+        def f(params, images, pad_mask, s0):
+            def body(i, c):
+                out = model.apply(
+                    params, images + c * 1e-12, pad_mask, train=False
+                )
+                return (
+                    jnp.mean(out["pred_logits"].astype(jnp.float32))
+                    + jnp.mean(out["pred_boxes"].astype(jnp.float32))
+                )
+            return jax.lax.fori_loop(0, n, body, s0)
+        return f
 
-    @jax.jit
-    def infer(params, images, pad_mask):
-        out = model.apply(params, images, pad_mask, train=False)
-        sizes = jnp.tile(jnp.array([[1024.0, 2048.0]]), (images.shape[0], 1))
-        return postprocess(out["pred_logits"], out["pred_boxes"], sizes,
-                           num_select=300)
+    # one-time tunnel/compile warmup
+    _ = float(np.asarray(jnp.float32(1.0) + 1))
 
-    # warmup / compile
-    r = infer(params, images, pad_mask)
-    jax.block_until_ready(r)
+    n1 = int(os.environ.get("BENCH_N1", "2"))
+    n2 = int(os.environ.get("BENCH_N2", "12"))
+    times = {}
+    for n in (n1, n2):
+        f = make_loop(n)
+        _ = float(np.asarray(f(params, images, pad_mask,
+                               jnp.float32(0.0))))  # compile + warm
+        t0 = time.perf_counter()
+        _ = float(np.asarray(f(params, images, pad_mask,
+                               jnp.float32(1e-6))))
+        times[n] = time.perf_counter() - t0
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = infer(params, images, pad_mask)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
-
-    ips = batch * iters / dt
+    per_batch = (times[n2] - times[n1]) / (n2 - n1)
+    ips = batch / per_batch
     print(json.dumps({
         "metric": "images/sec/chip DINO-R50 4-scale inference 800x1344 bf16",
         "value": round(ips, 2),
