@@ -26,6 +26,7 @@ def postprocess(
     not_to_xyxy: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     B, N, K = pred_logits.shape
+    num_select = min(num_select, N * K)
     prob = jax.nn.sigmoid(pred_logits).reshape(B, N * K)
     scores, topk = jax.lax.top_k(prob, num_select)  # [B, num_select]
     topk_queries = topk // K

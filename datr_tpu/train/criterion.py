@@ -212,11 +212,15 @@ def da_contrast_loss(
     class_map_target: jnp.ndarray,  # [K]
     global_proto: jnp.ndarray,  # [K, C]
 ) -> jnp.ndarray:
-    """InfoNCE-vs-global-prototypes with soft-label CE (dino.py:665-720)."""
+    """InfoNCE-vs-global-prototypes with soft-label CE (dino.py:665-720).
+
+    Normalization uses rsqrt(|x|^2 + eps): prototype rows of absent classes
+    are exactly zero, and d||x||/dx at 0 is NaN in JAX (torch defines the
+    subgradient as 0) — the eps keeps both value and gradient finite."""
 
     def normalize(x):
-        return x / jnp.clip(
-            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None
+        return x * jax.lax.rsqrt(
+            jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12
         )
 
     g = normalize(jax.lax.stop_gradient(global_proto))
