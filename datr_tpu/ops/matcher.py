@@ -159,6 +159,13 @@ def detr_matching_cost(
     return C.T  # [T, N]
 
 
+def minsum_match(cost: jnp.ndarray) -> jnp.ndarray:
+    """SimpleMinsumMatcher (reference: matcher.py:98-175): each target takes
+    its argmin-cost prediction independently (not necessarily injective).
+    cost: [T, N] -> [T] int32."""
+    return jnp.argmin(cost, axis=1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cost_class", "cost_bbox", "cost_giou",
                               "focal_alpha"),

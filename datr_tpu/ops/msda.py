@@ -108,28 +108,31 @@ def ms_deform_attn_xla(
 
     # [B, S, H, D] -> [B, H, S, D] for a per-head flat gather.
     value_bh = jnp.swapaxes(value, 1, 2)
+    # fold attention weights into the bilinear corner weights once
+    attn = jnp.transpose(attention_weights, (0, 2, 1, 3, 4))  # [B,H,Lq,L,P]
 
-    def gather_corner(idx):
-        # idx: [B, Lq, H, L, P] -> [B, H, Lq*L*P]
-        idx_bh = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(B, H, Lq * L * P)
-        g = jnp.take_along_axis(value_bh, idx_bh[..., None], axis=2)
-        return g.reshape(B, H, Lq, L * P, D)
-
-    sampled = None
+    # Accumulate per (corner, level): the per-step gather buffer is
+    # [B, H, Lq, P, D] — L*4 sequential steps keep peak memory ~1/(4L) of a
+    # fused [B, H, Lq, L*P, D] materialization (encoder Lq == S ~ 22k tokens,
+    # where one fused buffer is GBs at batch 8).
+    out = jnp.zeros((B, H, Lq, D), jnp.float32)
     for idx, w in zip(indices, corner_w):
-        w_bh = jnp.transpose(w, (0, 2, 1, 3, 4)).reshape(B, H, Lq, L * P, 1)
-        contrib = gather_corner(idx) * w_bh.astype(value.dtype)
-        sampled = contrib if sampled is None else sampled + contrib
-
-    attn = jnp.transpose(attention_weights, (0, 2, 1, 3, 4)).reshape(
-        B, H, Lq, L * P
-    )
-    out = jnp.einsum(
-        "bhqpd,bhqp->bhqd", sampled, attn.astype(value.dtype),
-        preferred_element_type=jnp.float32,
-    )
+        idx_bh = jnp.transpose(idx, (0, 2, 1, 3, 4))  # [B,H,Lq,L,P]
+        w_attn = (jnp.transpose(w, (0, 2, 1, 3, 4)) * attn).astype(value.dtype)
+        for lvl in range(L):
+            g = jnp.take_along_axis(
+                value_bh,
+                idx_bh[:, :, :, lvl].reshape(B, H, Lq * P)[..., None],
+                axis=2,
+            ).reshape(B, H, Lq, P, D)
+            out = out + jnp.einsum(
+                "bhqpd,bhqp->bhqd", g, w_attn[:, :, :, lvl],
+                preferred_element_type=jnp.float32,
+            )
     # [B, H, Lq, D] -> [B, Lq, H*D]
-    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, H * D).astype(value.dtype)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, H * D).astype(
+        value.dtype
+    )
 
 
 def ms_deform_attn(
