@@ -156,22 +156,23 @@ def finalize_example(
     """Normalize + pad to the static canvas; boxes -> normalized cxcywh padded
     to max_boxes (da_transforms.py Normalize :266-287 + static batching)."""
     H, W = canvas_hw
-    arr = np.asarray(img, np.float32) / 255.0
-    h, w = arr.shape[0], arr.shape[1]
+    u8 = np.asarray(img, np.uint8)
+    h, w = u8.shape[0], u8.shape[1]
     if h > H or w > W:  # canvas must fit the largest aug size
         scale = min(H / h, W / w)
         nh, nw = int(h * scale), int(w * scale)
-        img2 = img.resize((nw, nh), Image.BILINEAR)
-        arr = np.asarray(img2, np.float32) / 255.0
         if target is not None and len(target.get("boxes", [])):
             b = target["boxes"].copy()
             b *= scale
             target = dict(target, boxes=b)
         h, w = nh, nw
-    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
 
-    canvas = np.zeros((H, W, 3), np.float32)
-    canvas[:h, :w] = arr
+    # fused resize(if any) + normalize + pad — native C++ kernel when built
+    from .. import native
+
+    canvas = native.resize_normalize_pad(
+        u8, (h, w), (H, W), IMAGENET_MEAN, IMAGENET_STD
+    )
     pad_mask = np.ones((H, W), bool)
     pad_mask[:h, :w] = False
 

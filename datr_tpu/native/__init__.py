@@ -1,0 +1,116 @@
+"""ctypes bindings for the native image-preprocessing kernels.
+
+Builds image_ops.cpp on first import if needed (g++ is baked into the image;
+pybind11 is not, hence ctypes). Falls back to a numpy implementation when the
+toolchain is unavailable so the framework stays importable everywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libimage_ops.so")
+_SRC = os.path.join(_DIR, "image_ops.cpp")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+        _SRC
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.resize_normalize_pad.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.resize_bilinear_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+    ]
+    _lib = lib
+    return _lib
+
+
+def resize_normalize_pad(
+    img_u8: np.ndarray,  # [sh, sw, 3] uint8
+    out_hw,  # resized extent (dh, dw)
+    canvas_hw,  # full canvas (H, W)
+    mean: np.ndarray,
+    std: np.ndarray,
+) -> np.ndarray:
+    """Fused bilinear resize + ImageNet normalize + zero-pad (native when
+    available). Returns float32 [H, W, 3]."""
+    sh, sw = img_u8.shape[:2]
+    dh, dw = out_hw
+    H, W = canvas_hw
+    lib = get_lib()
+    if lib is not None:
+        src = np.ascontiguousarray(img_u8, np.uint8)
+        dst = np.empty((H, W, 3), np.float32)
+        m = np.ascontiguousarray(mean, np.float32)
+        s = np.ascontiguousarray(std, np.float32)
+        lib.resize_normalize_pad(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), sh, sw,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw,
+            H, W,
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return dst
+    return _numpy_resize_normalize_pad(img_u8, out_hw, canvas_hw, mean, std)
+
+
+def _numpy_resize_normalize_pad(img_u8, out_hw, canvas_hw, mean, std):
+    """Fallback with the same align_corners=False sampling (also the test
+    oracle for the native kernel)."""
+    sh, sw = img_u8.shape[:2]
+    dh, dw = out_hw
+    H, W = canvas_hw
+    ys = (np.arange(dh) + 0.5) * (sh / dh) - 0.5
+    xs = (np.arange(dw) + 0.5) * (sw / dw) - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    y0c = np.clip(y0, 0, sh - 1)
+    y1c = np.clip(y0 + 1, 0, sh - 1)
+    x0c = np.clip(x0, 0, sw - 1)
+    x1c = np.clip(x0 + 1, 0, sw - 1)
+    f = img_u8.astype(np.float32)
+    out = (
+        f[y0c][:, x0c] * (1 - wy) * (1 - wx)
+        + f[y0c][:, x1c] * (1 - wy) * wx
+        + f[y1c][:, x0c] * wy * (1 - wx)
+        + f[y1c][:, x1c] * wy * wx
+    )
+    out = (out / 255.0 - mean) / std
+    canvas = np.zeros((H, W, 3), np.float32)
+    canvas[:dh, :dw] = out
+    return canvas
