@@ -92,6 +92,91 @@ def _corner_gather_indices(
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def ms_deform_attn_quad(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Quad-packed gather formulation — the fast TPU path for D == 32.
+
+    XLA's TPU gather runs at full HBM bandwidth only when each gathered row
+    is exactly 128 lanes (measured on v5e: 718 GB/s at 128 lanes vs 23 GB/s
+    at 32). With head_dim 32, the four bilinear corners of one sample are
+    packed into one 128-wide row: in row-major token order the corners are
+    rows (i, i+1, i+W, i+W+1), so shifted slices of the (zero-padded) value
+    build quad[i] = [v(y0,x0), v(y0,x1), v(y1,x0), v(y1,x1)] and ONE gather
+    per level fetches all corners of all points — 100%% of every gathered
+    byte is used.
+    """
+    B, S, H, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert 4 * D == 128, "quad packing requires head_dim 32"
+
+    loc = sampling_locations.astype(jnp.float32)
+    out = jnp.zeros((B, H, Lq, D), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        hw = h * w
+        v_l = jnp.swapaxes(value[:, start : start + hw], 1, 2)  # [B,H,hw,D]
+        start += hw
+        # base index range (clamped): y0 in [-1, h-1], x0 in [-1, w-1]
+        # -> flat + (w+1) in [0, hw + w]; slices need v_pad len hw + 2w + 2.
+        n_pack = hw + w + 1
+        v_pad = jnp.pad(v_l, ((0, 0), (0, 0), (w + 1, w + 1), (0, 0)))
+        quad = jnp.concatenate(
+            [
+                v_pad[:, :, 0:n_pack],
+                v_pad[:, :, 1 : n_pack + 1],
+                v_pad[:, :, w : n_pack + w],
+                v_pad[:, :, w + 1 : n_pack + w + 1],
+            ],
+            axis=-1,
+        )  # [B, H, n_pack, 4D]
+
+        x = loc[:, :, :, lvl, :, 0] * w - 0.5  # [B, Lq, H, P]
+        y = loc[:, :, :, lvl, :, 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        vx0 = (x0i >= 0) & (x0i < w)
+        vx1 = (x0i + 1 >= 0) & (x0i + 1 < w)
+        vy0 = (y0i >= 0) & (y0i < h)
+        vy1 = (y0i + 1 >= 0) & (y0i + 1 < h)
+        w00 = jnp.where(vx0 & vy0, (1 - fx) * (1 - fy), 0.0)
+        w01 = jnp.where(vx1 & vy0, fx * (1 - fy), 0.0)
+        w10 = jnp.where(vx0 & vy1, (1 - fx) * fy, 0.0)
+        w11 = jnp.where(vx1 & vy1, fx * fy, 0.0)
+
+        base = (
+            jnp.clip(y0i, -1, h - 1) * w
+            + jnp.clip(x0i, -1, w - 1)
+            + (w + 1)
+        )  # [B, Lq, H, P] in [0, hw + w]
+
+        idx = jnp.transpose(base, (0, 2, 1, 3)).reshape(B, H, Lq * P)
+        g = jnp.take_along_axis(quad, idx[..., None], axis=2)
+        g4 = g.reshape(B, H, Lq, P, 4, D)
+
+        cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [B, Lq, H, P, 4]
+        cw = cw * attention_weights[:, :, :, lvl, :, None].astype(jnp.float32)
+        cw = jnp.transpose(cw, (0, 2, 1, 3, 4))  # [B, H, Lq, P, 4]
+        out = out + jnp.einsum(
+            "bhqpcd,bhqpc->bhqd", g4, cw.astype(value.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return (
+        jnp.transpose(out, (0, 2, 1, 3))
+        .reshape(B, Lq, H * D)
+        .astype(value.dtype)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
 def ms_deform_attn_xla(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
@@ -143,10 +228,14 @@ def ms_deform_attn(
     impl: str = "xla",
 ) -> jnp.ndarray:
     """Dispatching entry point (reference: ops/src/ms_deform_attn.h:21-62)."""
+    shapes = tuple(map(tuple, spatial_shapes))
     if impl == "xla":
+        if 4 * value.shape[-1] == 128:
+            return ms_deform_attn_quad(
+                value, shapes, sampling_locations, attention_weights
+            )
         return ms_deform_attn_xla(
-            value, tuple(map(tuple, spatial_shapes)), sampling_locations,
-            attention_weights,
+            value, shapes, sampling_locations, attention_weights
         )
     if impl == "pallas":
         from .msda_pallas import ms_deform_attn_pallas
