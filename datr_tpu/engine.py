@@ -94,10 +94,14 @@ def update_emas_per_epoch(state, epoch: int, cfg):
 def evaluate(
     params, model, loader: Iterable, categories,
     num_select: int = 300, logger=None, print_freq: int = 50,
+    save_results_path: Optional[str] = None,
 ) -> Dict:
     """Run detection eval, return the 12 COCO stats
-    (engine.py:349-513 -> stats['coco_eval_bbox'])."""
+    (engine.py:349-513 -> stats['coco_eval_bbox']). With save_results_path,
+    raw per-image gt/pred arrays are dumped for offline diffing (equivalent
+    of --save_results, engine.py:433-492)."""
     evaluator = CocoEvaluator(categories)
+    dumped = [] if save_results_path else None
     ml = MetricLogger(logger=logger)
     for batch in ml.log_every(loader, print_freq, "Test:"):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
@@ -121,6 +125,16 @@ def evaluate(
                 xyxy[gv], gl[gv],
                 res["boxes"][i], res["scores"][i], res["labels"][i],
             )
+            if dumped is not None:
+                dumped.append(dict(
+                    image_id=int(batch["image_ids"][i]),
+                    gt_boxes=xyxy[gv], gt_labels=gl[gv],
+                    boxes=res["boxes"][i], scores=res["scores"][i],
+                    labels=res["labels"][i],
+                ))
+    if dumped is not None:
+        np.savez_compressed(save_results_path,
+                            results=np.array(dumped, dtype=object))
     stats = evaluator.summarize()
     if logger:
         logger.info(

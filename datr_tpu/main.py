@@ -53,6 +53,8 @@ def get_args_parser():
     p.add_argument("--pretrain_model_path", default="")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic dataset (smoke runs)")
+    p.add_argument("--save_results", action="store_true",
+                   help="dump raw eval gt/pred arrays (engine.py:433-492)")
     p.add_argument("--debug", action="store_true",
                    help="break epochs after a few iters (engine.py:125-128)")
     return p
@@ -137,8 +139,12 @@ def main(args):
                                 max_boxes)
 
     if args.eval:
-        stats = evaluate(state.params, model, make_val_loader(), categories,
-                         cfg.num_select, logger)
+        stats = evaluate(
+            state.params, model, make_val_loader(), categories,
+            cfg.num_select, logger,
+            save_results_path=os.path.join(args.output_dir, "results.npz")
+            if args.save_results else None,
+        )
         logger.info(json.dumps(stats))
         return
 
@@ -149,6 +155,16 @@ def main(args):
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
+        # at the lr drop, restart the student from the best EMA teacher
+        # (reference: main.py:321-327)
+        if epoch == cfg.get("lr_drop") and epoch > start_epoch:
+            best_teacher = os.path.join(args.output_dir, "best_ema_teacher")
+            if os.path.isdir(best_teacher):
+                from .train.checkpoint import load_checkpoint
+
+                loaded, _ = load_checkpoint(best_teacher, state.params)
+                state = state.replace(params=loaded)
+                logger.info("reloaded best_ema_teacher weights at lr_drop")
         loader = make_da_loader(
             train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
             seed=args.seed, epoch=epoch,
