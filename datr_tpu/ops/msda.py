@@ -33,6 +33,7 @@ import functools
 from typing import Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -100,23 +101,33 @@ def ms_deform_attn_quad(
 ) -> jnp.ndarray:
     """Quad-packed gather formulation — the fast TPU path for D == 32.
 
-    XLA's TPU gather runs at full HBM bandwidth only when each gathered row
-    is exactly 128 lanes (measured on v5e: 718 GB/s at 128 lanes vs 23 GB/s
-    at 32). With head_dim 32, the four bilinear corners of one sample are
-    packed into one 128-wide row: in row-major token order the corners are
-    rows (i, i+1, i+W, i+W+1), so shifted slices of the (zero-padded) value
-    build quad[i] = [v(y0,x0), v(y0,x1), v(y1,x0), v(y1,x1)] and ONE gather
-    per level fetches all corners of all points — 100%% of every gathered
-    byte is used.
+    Two measured facts about XLA's TPU gather (v5e) shape this design:
+    1. Full HBM bandwidth (718 GB/s) needs a 2D operand [rows, 128 lanes]
+       with flat indices AND the operand resident in VMEM (a few MB);
+       batched/row-narrow/HBM-sized variants run at 20-110 GB/s.
+    2. Per-gather fixed overhead is ~0.2 ms, so fewer, larger gathers win.
+
+    Hence: with head_dim 32 the four bilinear corners of a sample pack into
+    one 128-lane row — in row-major token order the corners are rows
+    (i, i+1, i+W, i+W+1), so shifted slices of the zero-padded per-level
+    value build quad[i] = [v(y0,x0), v(y0,x1), v(y1,x0), v(y1,x1)]. The
+    per-level tables concatenate along rows into ONE ~6 MB table per
+    (batch, head), and a single gather of all Lq*L*P samples per (b, h)
+    (lax.map over the b*h axis keeps each step's table inside VMEM) fetches
+    every corner of every sample — 100%% of every gathered byte is used.
     """
     B, S, H, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert 4 * D == 128, "quad packing requires head_dim 32"
 
     loc = sampling_locations.astype(jnp.float32)
-    out = jnp.zeros((B, H, Lq, D), jnp.float32)
+
+    # ---- build the packed corner tables, all levels concatenated ----
+    tables = []
+    row_offsets = []
     start = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
+    total_rows = 0
+    for (h, w) in spatial_shapes:
         hw = h * w
         v_l = jnp.swapaxes(value[:, start : start + hw], 1, 2)  # [B,H,hw,D]
         start += hw
@@ -133,7 +144,17 @@ def ms_deform_attn_quad(
             ],
             axis=-1,
         )  # [B, H, n_pack, 4D]
+        tables.append(quad)
+        row_offsets.append(total_rows)
+        total_rows += n_pack
+    quad_all = jnp.concatenate(tables, axis=2).reshape(
+        B * H, total_rows, 4 * D
+    )
 
+    # ---- indices + corner weights for every level (batched layout) ----
+    bases = []
+    corner_ws = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
         x = loc[:, :, :, lvl, :, 0] * w - 0.5  # [B, Lq, H, P]
         y = loc[:, :, :, lvl, :, 1] * h - 0.5
         x0 = jnp.floor(x)
@@ -142,7 +163,6 @@ def ms_deform_attn_quad(
         fy = y - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-
         vx0 = (x0i >= 0) & (x0i < w)
         vx1 = (x0i + 1 >= 0) & (x0i + 1 < w)
         vy0 = (y0i >= 0) & (y0i < h)
@@ -151,24 +171,45 @@ def ms_deform_attn_quad(
         w01 = jnp.where(vx1 & vy0, fx * (1 - fy), 0.0)
         w10 = jnp.where(vx0 & vy1, (1 - fx) * fy, 0.0)
         w11 = jnp.where(vx1 & vy1, fx * fy, 0.0)
-
-        base = (
+        bases.append(
             jnp.clip(y0i, -1, h - 1) * w
             + jnp.clip(x0i, -1, w - 1)
             + (w + 1)
-        )  # [B, Lq, H, P] in [0, hw + w]
+            + row_offsets[lvl]
+        )  # [B, Lq, H, P]
+        corner_ws.append(jnp.stack([w00, w01, w10, w11], axis=-1))
 
-        idx = jnp.transpose(base, (0, 2, 1, 3)).reshape(B, H, Lq * P)
-        g = jnp.take_along_axis(quad, idx[..., None], axis=2)
-        g4 = g.reshape(B, H, Lq, P, 4, D)
+    base = jnp.stack(bases, axis=3)  # [B, Lq, H, L, P]
+    idx = jnp.transpose(base, (0, 2, 1, 3, 4)).reshape(B * H, Lq * L * P)
+    cw = jnp.stack(corner_ws, axis=3)  # [B, Lq, H, L, P, 4]
+    cw = (cw * attention_weights.astype(jnp.float32)[..., None]).astype(
+        value.dtype
+    )
+    cw = jnp.transpose(cw, (0, 2, 1, 3, 4, 5)).reshape(
+        B * H, Lq * L * P, 4
+    )
 
-        cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [B, Lq, H, P, 4]
-        cw = cw * attention_weights[:, :, :, lvl, :, None].astype(jnp.float32)
-        cw = jnp.transpose(cw, (0, 2, 1, 3, 4))  # [B, H, Lq, P, 4]
-        out = out + jnp.einsum(
-            "bhqpcd,bhqpc->bhqd", g4, cw.astype(value.dtype),
-            preferred_element_type=jnp.float32,
-        )
+    # ---- one big gather + lane-preserving reduction per (b, h) ----
+    # Splitting the 128 gathered lanes into (4, D) for an einsum forces a
+    # cross-lane relayout that costs more than the gather itself (profiled:
+    # 6.5 ms/op). Instead the corner weights are expanded into lane blocks
+    # with a constant [4, 128] 0/1 matmul, the L*P samples reduce over
+    # sublanes, and a constant [128, D] 0/1 matmul folds the four corner
+    # blocks — lanes stay intact end to end, both matmuls ride the MXU.
+    expand = jnp.asarray(
+        np.kron(np.eye(4), np.ones((1, D))), dtype=value.dtype
+    )  # [4, 128]
+    fold = jnp.asarray(np.tile(np.eye(D), (4, 1)), dtype=jnp.float32)
+
+    def one_bh(args):
+        table, ix, w_ = args
+        g = jnp.take(table, ix, axis=0)  # [Lq*L*P, 128]
+        w_lane = jnp.dot(w_, expand, preferred_element_type=value.dtype)
+        r = (g * w_lane).reshape(Lq, L * P, 4 * D).sum(axis=1)
+        return jnp.dot(r, fold, preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(one_bh, (quad_all, idx, cw))  # [B*H, Lq, D]
+    out = out.reshape(B, H, Lq, D)
     return (
         jnp.transpose(out, (0, 2, 1, 3))
         .reshape(B, Lq, H * D)
@@ -191,8 +232,10 @@ def ms_deform_attn_xla(
         sampling_locations.astype(jnp.float32), spatial_shapes
     )
 
-    # [B, S, H, D] -> [B, H, S, D] for a per-head flat gather.
+    # [B, S, H, D] -> [B, H, S, D] -> flat rows for the fast 2D gather.
     value_bh = jnp.swapaxes(value, 1, 2)
+    value_flat = value_bh.reshape(B * H * S, D)
+    bh_off = jnp.arange(B * H, dtype=jnp.int32).reshape(B, H, 1) * S
     # fold attention weights into the bilinear corner weights once
     attn = jnp.transpose(attention_weights, (0, 2, 1, 3, 4))  # [B,H,Lq,L,P]
 
@@ -205,11 +248,12 @@ def ms_deform_attn_xla(
         idx_bh = jnp.transpose(idx, (0, 2, 1, 3, 4))  # [B,H,Lq,L,P]
         w_attn = (jnp.transpose(w, (0, 2, 1, 3, 4)) * attn).astype(value.dtype)
         for lvl in range(L):
-            g = jnp.take_along_axis(
-                value_bh,
-                idx_bh[:, :, :, lvl].reshape(B, H, Lq * P)[..., None],
-                axis=2,
-            ).reshape(B, H, Lq, P, D)
+            flat_idx = (
+                idx_bh[:, :, :, lvl].reshape(B, H, Lq * P) + bh_off
+            ).reshape(-1)
+            g = jnp.take(value_flat, flat_idx, axis=0).reshape(
+                B, H, Lq, P, D
+            )
             out = out + jnp.einsum(
                 "bhqpd,bhqp->bhqd", g, w_attn[:, :, :, lvl],
                 preferred_element_type=jnp.float32,
