@@ -101,11 +101,15 @@ def ms_deform_attn_quad(
 ) -> jnp.ndarray:
     """Quad-packed gather formulation — the fast TPU path for D == 32.
 
-    Two measured facts about XLA's TPU gather (v5e) shape this design:
-    1. Full HBM bandwidth (718 GB/s) needs a 2D operand [rows, 128 lanes]
-       with flat indices AND the operand resident in VMEM (a few MB);
-       batched/row-narrow/HBM-sized variants run at 20-110 GB/s.
-    2. Per-gather fixed overhead is ~0.2 ms, so fewer, larger gathers win.
+    Measured facts about XLA's TPU gather (v5e) that shape this design:
+    1. The gather unit is ISSUE-RATE bound at ~0.4e9 rows/s, so throughput is
+       proportional to row width: 23 GB/s at 32 lanes vs ~100 GB/s at 128
+       lanes (the maximum row width with a fast layout). Minimize ROWS, pack
+       each row full.
+    2. It needs a 2D operand [rows, 128 lanes] with flat 1D indices and the
+       operand in the tens-of-MB range; the batched take_along_axis form and
+       >64 MB operands fall to ~20 GB/s.
+    3. Per-gather fixed overhead is ~0.2 ms, so fewer, larger gathers win.
 
     Hence: with head_dim 32 the four bilinear corners of a sample pack into
     one 128-lane row — in row-major token order the corners are rows
