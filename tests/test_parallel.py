@@ -1,0 +1,99 @@
+"""Mesh sharding tests on the 8 virtual CPU devices: TP rules produce valid
+shardings, DP+TP train step runs, and results match the single-device step."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from datr_tpu.parallel.mesh import (
+    make_mesh,
+    param_sharding_tree,
+    shard_batch,
+    shard_train_state,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_rules_shard_ffn_and_attention():
+    from datr_tpu.models.dino import DINO
+
+    mesh = make_mesh(8, tp=2)
+    model = DINO(num_classes=3, num_queries=8, hidden_dim=32, nheads=2,
+                 enc_layers=1, dec_layers=1, dim_feedforward=64,
+                 dn_number=2, dn_single_pad=2, dn_labelbook_size=3,
+                 use_remat=False)
+    x = jnp.zeros((1, 32, 32, 3))
+    m = jnp.zeros((1, 32, 32), bool)
+    params = model.init(jax.random.PRNGKey(0), x, m, train=False)
+    tree = param_sharding_tree(params, mesh)
+
+    p = params["params"]
+    t = tree["params"]
+    # FFN column/row split
+    spec1 = t["enc_layer0"]["ffn"]["linear1"]["kernel"].spec
+    spec2 = t["enc_layer0"]["ffn"]["linear2"]["kernel"].spec
+    assert tuple(spec1) == (None, "model")
+    assert tuple(spec2) == ("model", None)
+    # MSDA value/output projections
+    vp = t["enc_layer0"]["self_attn"]["value_proj"]["kernel"].spec
+    op = t["enc_layer0"]["self_attn"]["output_proj"]["kernel"].spec
+    assert tuple(vp) == (None, "model")
+    assert tuple(op) == ("model", None)
+    # decoder MHA q/k/v head split
+    qk = t["dec_layer0"]["self_attn"]["query"]["kernel"].spec
+    assert tuple(qk) == (None, "model", None)
+    # backbone convs replicated
+    bb = t["backbone"]["conv1"]["kernel"].spec
+    assert tuple(bb) == ()
+    # placement actually works
+    sharded = jax.device_put(params, tree)
+    leaf = sharded["params"]["enc_layer0"]["ffn"]["linear1"]["kernel"]
+    assert len(leaf.sharding.device_set) >= 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
+def test_dp_tp_step_matches_single_device():
+    from datr_tpu.models.dino import DINO
+    from datr_tpu.train.criterion import CriterionCfg, build_weight_dict
+    from datr_tpu.train.optim import make_optimizer
+    from datr_tpu.train.state import create_train_state
+    from datr_tpu.train.steps import train_step_burnin
+
+    K, HD = 3, 32
+    model = DINO(num_classes=K, num_queries=8, hidden_dim=HD, nheads=2,
+                 enc_layers=1, dec_layers=1, dim_feedforward=64,
+                 dn_number=2, dn_single_pad=2, dn_labelbook_size=K,
+                 use_remat=False)
+    B = 8
+    images = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    pad_mask = jnp.zeros((B, 32, 32), bool)
+    targets = dict(
+        boxes=jnp.tile(jnp.array([[0.5, 0.5, 0.3, 0.3]]), (B // 2, 2, 1)),
+        labels=jnp.ones((B // 2, 2), jnp.int32),
+        valid=jnp.ones((B // 2, 2), bool),
+    )
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask,
+                        targets=targets, dn_rng=jax.random.PRNGKey(1),
+                        train=True, global_proto=jnp.zeros((K, HD)),
+                        amount=jnp.zeros((K,)))
+    tx = make_optimizer(params)
+    ccfg = CriterionCfg(num_classes=K, dn_single_pad=2, dn_groups=1)
+    wd = build_weight_dict(dec_layers=1)
+    batch = dict(images=images, pad_mask=pad_mask, **targets)
+
+    st0 = create_train_state(params, tx, K, HD, jax.random.PRNGKey(2))
+    _, m_single = train_step_burnin(
+        jax.tree.map(jnp.copy, st0), batch, model, tx, ccfg, wd
+    )
+
+    mesh = make_mesh(8, tp=2)
+    with mesh:
+        st = shard_train_state(jax.tree.map(jnp.copy, st0), mesh)
+        sb = shard_batch(batch, mesh)
+        _, m_sharded = train_step_burnin(st, sb, model, tx, ccfg, wd)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=2e-3
+    )
