@@ -119,10 +119,19 @@ def main(args):
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
     if cfg.get("lr_drop"):
         lr_drop_step = int(cfg.lr_drop) * steps_per_epoch
+    schedule_type = "step"
+    if cfg.get("onecyclelr"):
+        schedule_type = "onecycle"
+    elif cfg.get("multi_step_lr"):
+        schedule_type = "multistep"
     tx = make_optimizer(
         params, lr=cfg.lr, lr_backbone=cfg.lr_backbone,
         weight_decay=cfg.weight_decay, clip_max_norm=cfg.clip_max_norm,
         lr_drop_step=lr_drop_step,
+        schedule_type=schedule_type,
+        lr_drop_steps=[e * steps_per_epoch
+                       for e in cfg.get("lr_drop_list", [])],
+        total_steps=cfg.epochs * steps_per_epoch,
     )
     state = create_train_state(params, tx, model.num_classes,
                                model.hidden_dim, rng)

@@ -541,6 +541,7 @@ def _build_dino_entry(cfg):
         cost_giou=get("set_cost_giou", 2.0),
         dn_single_pad=model.dn_single_pad,
         dn_groups=groups,
+        matcher_type=get("matcher_type", "HungarianMatcher"),
     )
     weight_dict = build_weight_dict(
         dec_layers=model.dec_layers,

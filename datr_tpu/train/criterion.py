@@ -40,6 +40,7 @@ class CriterionCfg(NamedTuple):
     cost_giou: float = 2.0
     dn_single_pad: int = 20
     dn_groups: int = 5
+    matcher_type: str = "HungarianMatcher"  # or "SimpleMinsumMatcher"
 
 
 # ---------------------------------------------------------------------------
@@ -114,13 +115,28 @@ def match_and_losses(
     logits, boxes, gt_labels, gt_boxes, gt_valid, num_boxes,
     cfg: CriterionCfg, img_mask=None,
 ):
-    assign = batch_match(
-        jax.lax.stop_gradient(logits.astype(jnp.float32)),
-        jax.lax.stop_gradient(boxes.astype(jnp.float32)),
-        gt_labels, gt_boxes, gt_valid,
-        cost_class=cfg.cost_class, cost_bbox=cfg.cost_bbox,
-        cost_giou=cfg.cost_giou, focal_alpha=cfg.focal_alpha,
-    )
+    if cfg.matcher_type == "SimpleMinsumMatcher":
+        from ..ops.matcher import detr_matching_cost, minsum_match
+
+        def per_image(lg, pb, tl, tb, tv):
+            return minsum_match(detr_matching_cost(
+                lg, pb, tl, tb, tv, cfg.cost_class, cfg.cost_bbox,
+                cfg.cost_giou, cfg.focal_alpha,
+            ))
+
+        assign = jax.vmap(per_image)(
+            jax.lax.stop_gradient(logits.astype(jnp.float32)),
+            jax.lax.stop_gradient(boxes.astype(jnp.float32)),
+            gt_labels, gt_boxes, gt_valid,
+        )
+    else:
+        assign = batch_match(
+            jax.lax.stop_gradient(logits.astype(jnp.float32)),
+            jax.lax.stop_gradient(boxes.astype(jnp.float32)),
+            gt_labels, gt_boxes, gt_valid,
+            cost_class=cfg.cost_class, cost_bbox=cfg.cost_bbox,
+            cost_giou=cfg.cost_giou, focal_alpha=cfg.focal_alpha,
+        )
     return detection_losses(
         logits, boxes, gt_labels, gt_boxes, gt_valid, assign, num_boxes,
         cfg.focal_alpha, img_mask,

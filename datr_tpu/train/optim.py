@@ -51,15 +51,28 @@ def make_optimizer(
     clip_max_norm: float = 0.1,
     lr_drop_factor: float = 0.1,
     lr_drop_step: int | None = None,
+    schedule_type: str = "step",  # 'step' | 'multistep' | 'onecycle'
+    lr_drop_steps: list | None = None,  # for 'multistep' (lr_drop_list)
+    total_steps: int | None = None,  # for 'onecycle' (main.py onecyclelr)
 ) -> optax.GradientTransformation:
-    def adamw(learning_rate):
+    def make_schedule(learning_rate):
+        if schedule_type == "onecycle" and total_steps:
+            return optax.cosine_onecycle_schedule(
+                total_steps, peak_value=learning_rate
+            )
+        if schedule_type == "multistep" and lr_drop_steps:
+            return optax.piecewise_constant_schedule(
+                learning_rate, {s: lr_drop_factor for s in lr_drop_steps}
+            )
         if lr_drop_step is not None:
-            schedule = optax.piecewise_constant_schedule(
+            return optax.piecewise_constant_schedule(
                 learning_rate, {lr_drop_step: lr_drop_factor}
             )
-        else:
-            schedule = learning_rate
-        return optax.adamw(schedule, weight_decay=weight_decay)
+        return learning_rate
+
+    def adamw(learning_rate):
+        return optax.adamw(make_schedule(learning_rate),
+                           weight_decay=weight_decay)
 
     tx = optax.multi_transform(
         {
