@@ -108,3 +108,31 @@ def strong_augment(img: Image.Image, rng: random.Random) -> Image.Image:
     if rng.random() < 0.5:
         img = gaussian_blur(img, rng.uniform(0.1, 2.0))
     return img
+
+
+# --- sltransform-style extras (datasets/sltransform.py, used by the
+# single-domain strong_aug path, DAcoco.py:529-548) -------------------------
+def adjust_contrast(img: Image.Image, factor: float) -> Image.Image:
+    arr = np.asarray(img, np.float32) / 255.0
+    arr = np.clip(_adjust_contrast(arr, factor), 0, 1)
+    return Image.fromarray((arr * 255 + 0.5).astype(np.uint8))
+
+
+def adjust_brightness(img: Image.Image, factor: float) -> Image.Image:
+    arr = np.asarray(img, np.float32) / 255.0
+    arr = np.clip(arr * factor, 0, 1)
+    return Image.fromarray((arr * 255 + 0.5).astype(np.uint8))
+
+
+def lighting_noise(img: Image.Image, rng: random.Random) -> Image.Image:
+    """Random channel permutation (sltransform.py:52 LightingNoise)."""
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
+             (2, 1, 0)]
+    p = perms[rng.randrange(len(perms))]
+    arr = np.asarray(img)
+    return Image.fromarray(arr[..., list(p)])
+
+
+def random_select_multi(ops, rng: random.Random):
+    """Pick one op from a list (sltransform.py:202 RandomSelectMulti)."""
+    return ops[rng.randrange(len(ops))]

@@ -51,6 +51,9 @@ def get_args_parser():
     p.add_argument("--eval", action="store_true")
     p.add_argument("--resume", default="")
     p.add_argument("--pretrain_model_path", default="")
+    p.add_argument("--finetune_ignore", nargs="+", default=[],
+                   help="param-name keywords to NOT load from the pretrain "
+                        "checkpoint (main.py:247-271)")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic dataset (smoke runs)")
     p.add_argument("--save_results", action="store_true",
@@ -65,6 +68,16 @@ def main(args):
     cfg = apply_overrides(cfg, args.options)
     os.makedirs(args.output_dir, exist_ok=True)
     logger = setup_logger(args.output_dir, process_index=jax.process_index())
+    try:  # git sha for reproducibility (reference: main.py:118)
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        logger.info(f"git sha: {sha}")
+    except Exception:
+        pass
     logger.info(f"config: {json.dumps(dict(cfg), default=str)}")
     with open(os.path.join(args.output_dir, "config_args_all.json"), "w") as f:
         json.dump({**dict(cfg), **vars(args)}, f, default=str, indent=1)
@@ -140,6 +153,18 @@ def main(args):
         from .train.checkpoint import load_checkpoint
 
         loaded, _ = load_checkpoint(args.pretrain_model_path, state)
+        if args.finetune_ignore:
+            # drop params matching ignore keywords (main.py:247-271)
+            import jax.tree_util as jtu
+
+            def keep(path, new, old):
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                return old if any(k in name for k in args.finetune_ignore) \
+                    else new
+
+            loaded = loaded.replace(params=jtu.tree_map_with_path(
+                keep, loaded.params, state.params
+            ))
         state = loaded
     state, start_epoch = maybe_auto_resume(args.output_dir, state)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+from flax import linen as nn
 
 
 def position_embedding_sine_hw(
@@ -41,3 +42,31 @@ def position_embedding_sine_hw(
     pos_y = embed(y_embed, temperature_h)
     pos_x = embed(x_embed, temperature_w)
     return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class PositionEmbeddingLearned(nn.Module):
+    """Learned absolute row/column embeddings
+    (reference: position_encoding.py:110-135; configs default to sine)."""
+
+    num_pos_feats: int = 128
+    max_size: int = 50
+
+    @nn.compact
+    def __call__(self, mask: jnp.ndarray) -> jnp.ndarray:
+        B, H, W = mask.shape
+        row = self.param("row_embed", nn.initializers.uniform(1.0),
+                         (self.max_size, self.num_pos_feats))
+        col = self.param("col_embed", nn.initializers.uniform(1.0),
+                         (self.max_size, self.num_pos_feats))
+        i = jnp.clip(jnp.arange(W), 0, self.max_size - 1)
+        j = jnp.clip(jnp.arange(H), 0, self.max_size - 1)
+        x_emb = col[i]  # [W, F]
+        y_emb = row[j]  # [H, F]
+        pos = jnp.concatenate(
+            [
+                jnp.tile(x_emb[None, :, :], (H, 1, 1)),
+                jnp.tile(y_emb[:, None, :], (1, W, 1)),
+            ],
+            axis=-1,
+        )
+        return jnp.tile(pos[None], (B, 1, 1, 1))

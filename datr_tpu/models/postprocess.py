@@ -41,6 +41,33 @@ def postprocess(
     return {"scores": scores, "labels": labels, "boxes": boxes}
 
 
+def postprocess_with_nms(
+    pred_logits, pred_boxes, target_sizes, num_select: int = 300,
+    nms_iou_threshold: float = 0.7, max_out: int = 100,
+):
+    """PostProcess with the optional class-aware NMS of the reference
+    (dino.py:989-992, nms_iou_threshold > 0 configs). Returns fixed-size
+    results with a validity mask."""
+    res = postprocess(pred_logits, pred_boxes, target_sizes, num_select)
+    keep_idx, keep_valid = batched_nms(
+        res["boxes"], res["scores"], res["labels"],
+        iou_threshold=nms_iou_threshold, max_out=max_out,
+    )
+
+    def take(x):
+        idx = keep_idx
+        if x.ndim == 3:
+            idx = idx[..., None]
+        return jnp.take_along_axis(x, idx, axis=1)
+
+    return {
+        "scores": jnp.where(keep_valid, take(res["scores"]), -1.0),
+        "labels": take(res["labels"]),
+        "boxes": take(res["boxes"]),
+        "valid": keep_valid,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "max_out"))
 def batched_nms(
     boxes: jnp.ndarray,  # [B, M, 4] xyxy
