@@ -23,7 +23,7 @@ import numpy as np
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
     H, W = 800, 1344  # eval canvas (multiples of 32 covering 800x1333)
 
     from datr_tpu.models.dino import DINO
