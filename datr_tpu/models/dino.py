@@ -400,30 +400,38 @@ class DINO(nn.Module):
         def second_half(t):
             return t[half:]
 
-        groups, pad_size = cdn_layout(self.dn_number, self.dn_single_pad)
-        cdn = build_cdn_queries(
-            dn_rng, targets["boxes"], targets["labels"], targets["valid"],
-            self.label_enc, self.num_classes, self.dn_number,
-            self.dn_single_pad, self.dn_label_noise_ratio,
-            self.dn_box_noise_scale,
-        )
-        attn_mask = jnp.asarray(
-            cdn_self_attn_mask(self.num_queries, self.dn_single_pad, groups)
-        )
+        if self.dn_number > 0:
+            groups, pad_size = cdn_layout(self.dn_number, self.dn_single_pad)
+            cdn = build_cdn_queries(
+                dn_rng, targets["boxes"], targets["labels"],
+                targets["valid"], self.label_enc, self.num_classes,
+                self.dn_number, self.dn_single_pad,
+                self.dn_label_noise_ratio, self.dn_box_noise_scale,
+            )
+            attn_mask = jnp.asarray(
+                cdn_self_attn_mask(self.num_queries, self.dn_single_pad,
+                                   groups)
+            )
+            dn_embed = cdn.query_label_embed.astype(self.dtype)
+            dn_bbox = cdn.query_bbox_unsig
+        else:  # use_dn=False (build_dino: dn_number=0, dino.py:1062)
+            pad_size = 0
+            cdn = None
+            attn_mask = dn_embed = dn_bbox = None
 
         hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal = (
             self._transformer_pass(
                 first_half(src_flat), first_half(mask_flat),
                 first_half(pos_flat), first_half(valid_ratios),
-                spatial_shapes, cdn.query_label_embed.astype(self.dtype),
-                cdn.query_bbox_unsig, attn_mask, deterministic,
+                spatial_shapes, dn_embed, dn_bbox, attn_mask, deterministic,
             )
         )
         logits_all, coords_all = self._head_outputs(hs, refs)
-        # split DN part from matching part (dn_components.py:140-154)
-        out["dn_logits"] = logits_all[:, :, :pad_size]
-        out["dn_boxes"] = coords_all[:, :, :pad_size]
-        out["dn_valid"] = cdn.dn_valid
+        if cdn is not None:
+            # split DN part from matching part (dn_components.py:140-154)
+            out["dn_logits"] = logits_all[:, :, :pad_size]
+            out["dn_boxes"] = coords_all[:, :, :pad_size]
+            out["dn_valid"] = cdn.dn_valid
         logits = logits_all[:, :, pad_size:]
         coords = coords_all[:, :, pad_size:]
         out["pred_logits"] = logits[-1]
