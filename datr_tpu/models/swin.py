@@ -121,21 +121,14 @@ class SwinBlock(nn.Module):
         mask = None
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+            # [n_img_windows, N, N] additive mask — every image in the batch
+            # shares the same window layout (static shapes)
             mask = jnp.asarray(shift_attn_mask(Hp, Wp, ws, self.shift))
 
-        win = window_partition(x, ws)
-        if mask is not None:
-            # group = all windows of one image share the mask layout
-            n_img_windows = (Hp // ws) * (Wp // ws)
-            win_attn = WindowAttention(
-                self.dim, self.num_heads, ws, self.dtype, name="attn"
-            )(win, mask=jnp.tile(mask, (1, 1, 1))[
-                jnp.arange(n_img_windows) % mask.shape[0]
-            ] if mask.shape[0] != n_img_windows else mask)
-        else:
-            win_attn = WindowAttention(
-                self.dim, self.num_heads, ws, self.dtype, name="attn"
-            )(win)
+        win = window_partition(x, ws)  # [B * n_img_windows, N, C]
+        win_attn = WindowAttention(
+            self.dim, self.num_heads, ws, self.dtype, name="attn"
+        )(win, mask=mask)
         x = window_reverse(win_attn, ws, B, Hp, Wp)
 
         if self.shift > 0:

@@ -33,6 +33,23 @@ def test_backbone_strides_and_channels(module, channels):
         )
 
 
+def test_swin_shifted_window_path():
+    """Depth-2 stages exercise shift = window//2 blocks + the additive
+    shifted-window mask."""
+    m = SwinTransformer(embed_dim=32, depths=(2, 2, 2, 2),
+                        num_heads=(1, 2, 4, 8), window_size=4)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 96, 3))
+    params = m.init(jax.random.PRNGKey(1), x)
+    outs = m.apply(params, x)
+    import numpy as np
+
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+    # deterministic
+    outs2 = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs2[0]))
+
+
 def test_dino_with_swin_backbone_forward():
     from datr_tpu.models.dino import DINO
 
