@@ -33,6 +33,8 @@ def make_da_loader(
     shuffle: bool = True,
     num_threads: int = 4,
     epoch: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches:
       images        [2b, H, W, 3] — first b source (weak), then b target (weak)
@@ -81,6 +83,10 @@ def make_da_loader(
         order[i : i + batch_size]
         for i in range(0, n - batch_size + 1, batch_size)
     ]
+    # multi-host: each process takes a strided shard of batches
+    # (DistributedSampler equivalent, main.py:177-186)
+    if process_count > 1:
+        batches = batches[process_index::process_count]
 
     q: queue.Queue = queue.Queue(maxsize=max(2, num_threads))
     stop = object()

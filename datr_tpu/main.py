@@ -202,6 +202,8 @@ def main(args):
         loader = make_da_loader(
             train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
             seed=args.seed, epoch=epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         if args.debug:
             import itertools

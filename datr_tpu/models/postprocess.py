@@ -17,13 +17,16 @@ import jax.numpy as jnp
 from ..utils.boxes import box_cxcywh_to_xyxy
 
 
-@functools.partial(jax.jit, static_argnames=("num_select", "not_to_xyxy"))
+@functools.partial(
+    jax.jit, static_argnames=("num_select", "not_to_xyxy", "test")
+)
 def postprocess(
     pred_logits: jnp.ndarray,  # [B, N, K]
     pred_boxes: jnp.ndarray,  # [B, N, 4] normalized cxcywh
     target_sizes: jnp.ndarray,  # [B, 2] (h, w)
     num_select: int = 300,
     not_to_xyxy: bool = False,
+    test: bool = False,  # xyxy -> xywh (reference dino.py:979-981)
 ) -> Dict[str, jnp.ndarray]:
     B, N, K = pred_logits.shape
     num_select = min(num_select, N * K)
@@ -33,6 +36,11 @@ def postprocess(
     labels = topk % K
 
     boxes = pred_boxes if not_to_xyxy else box_cxcywh_to_xyxy(pred_boxes)
+    if test:
+        assert not not_to_xyxy
+        boxes = jnp.concatenate(
+            [boxes[..., :2], boxes[..., 2:] - boxes[..., :2]], axis=-1
+        )
     boxes = jnp.take_along_axis(boxes, topk_queries[..., None], axis=1)
 
     h, w = target_sizes[:, 0], target_sizes[:, 1]
