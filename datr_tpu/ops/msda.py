@@ -18,13 +18,16 @@ mode='bilinear', padding_mode='zeros', align_corners=False: the pixel-space
 coordinate is loc * size - 0.5 and out-of-range corners contribute zero.
 
 Design notes (TPU):
-- The whole op is 4 flat gathers (one per bilinear corner) over the flattened
-  token axis + a small weighted reduction. Level offsets are folded into the
-  gather indices so the gather count is independent of the number of levels.
-- Gradients come from XLA autodiff: the gather transposes to scatter-add, which
-  is the exact TPU-native analogue of the CUDA col2im atomics.
-- A Pallas kernel (msda_pallas.py) keeps `value` VMEM-resident per (batch, head)
-  and is used on TPU when enabled; this XLA path is the oracle and fallback.
+- Default fast path (head_dim 32): `ms_deform_attn_quad` — the four bilinear
+  corners of a sample pack into one 128-lane row of a per-level shifted-slice
+  table, and ONE gather per (batch, head) fetches every corner of every
+  sample at the gather unit's issue rate. See its docstring for the measured
+  hardware facts.
+- `ms_deform_attn_xla` is the generic-width oracle (per-corner gathers).
+- Gradients come from XLA autodiff: the gather transposes to scatter-add,
+  which is the exact TPU-native analogue of the CUDA col2im atomics.
+- The Pallas kernel (msda_pallas.py) is experimental: Mosaic in this
+  toolchain cannot compile vectorized in-kernel gathers.
 """
 
 from __future__ import annotations
