@@ -150,9 +150,11 @@ def main(args):
                                model.hidden_dim, rng)
 
     if args.pretrain_model_path:
-        from .train.checkpoint import load_checkpoint
+        from .train.checkpoint import load_pretrain_params
 
-        loaded, _ = load_checkpoint(args.pretrain_model_path, state)
+        loaded_params = load_pretrain_params(
+            args.pretrain_model_path, state.params
+        )
         if args.finetune_ignore:
             # drop params matching ignore keywords (main.py:247-271)
             import jax.tree_util as jtu
@@ -162,10 +164,17 @@ def main(args):
                 return old if any(k in name for k in args.finetune_ignore) \
                     else new
 
-            loaded = loaded.replace(params=jtu.tree_map_with_path(
-                keep, loaded.params, state.params
-            ))
-        state = loaded
+            loaded_params = jtu.tree_map_with_path(
+                keep, loaded_params, state.params
+            )
+        # fresh EMA tracks start from the loaded weights, matching the
+        # reference's ModelEMA-created-after-load (main.py:292)
+        state = state.replace(
+            params=loaded_params,
+            ema_teacher=jax.tree.map(jnp.copy, loaded_params),
+            best_ema=jax.tree.map(jnp.copy, loaded_params),
+        )
+        logger.info(f"loaded pretrain weights: {args.pretrain_model_path}")
     state, start_epoch = maybe_auto_resume(args.output_dir, state)
 
     def make_val_loader():
@@ -194,9 +203,9 @@ def main(args):
         if epoch == cfg.get("lr_drop") and epoch > start_epoch:
             best_teacher = os.path.join(args.output_dir, "best_ema_teacher")
             if os.path.isdir(best_teacher):
-                from .train.checkpoint import load_checkpoint
+                from .train.checkpoint import load_pretrain_params
 
-                loaded, _ = load_checkpoint(best_teacher, state.params)
+                loaded = load_pretrain_params(best_teacher, state.params)
                 state = state.replace(params=loaded)
                 logger.info("reloaded best_ema_teacher weights at lr_drop")
         loader = make_da_loader(

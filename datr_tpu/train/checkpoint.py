@@ -50,6 +50,41 @@ def load_checkpoint(path: str, target: Any):
     return state, meta
 
 
+def load_pretrain_params(path: str, params_target: Any):
+    """Load a pretrain checkpoint into a params tree.
+
+    Accepts either a full TrainState tree (saved by save_checkpoint on
+    `checkpoint`/`checkpointNNNN`) or a params-only tree (saved by
+    BestTracker for the best families: best_ema_teacher, best_ema_model,
+    checkpoint_best_regular). The reference analogue is main.py:247-271
+    (--pretrain_model_path state-dict load) and main_teacher.py:234,311
+    (resume student from the ema_model entry).
+    """
+    path = os.path.abspath(path)
+    raw = _ckptr().restore(path)  # structure as stored, no target
+    if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+        raw = raw["params"]
+    flat_t, treedef = jax.tree_util.tree_flatten(params_target)
+    flat_r = jax.tree_util.tree_leaves(raw)
+    if len(flat_t) != len(flat_r):
+        raise ValueError(
+            f"pretrain checkpoint at {path} has {len(flat_r)} leaves, "
+            f"model expects {len(flat_t)}"
+        )
+    paths = jax.tree_util.tree_flatten_with_path(params_target)[0]
+    leaves = []
+    for (kp, t), r in zip(paths, flat_r):
+        r = np.asarray(r)
+        if r.size != t.size:
+            raise ValueError(
+                f"pretrain checkpoint at {path}: param "
+                f"{jax.tree_util.keystr(kp)} has shape {r.shape}, model "
+                f"expects {t.shape} — wrong config for this checkpoint?"
+            )
+        leaves.append(r.astype(t.dtype).reshape(t.shape))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def maybe_auto_resume(output_dir: str, state: Any):
     """Resume from <output_dir>/checkpoint if present (main.py:226-245)."""
     path = os.path.join(output_dir, "checkpoint")
