@@ -65,8 +65,21 @@ def _corner_gather_indices(
     x = loc[..., 0] * ws[:, None] - 0.5  # [B, Lq, H, L, P]
     y = loc[..., 1] * hs[:, None] - 0.5
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
+    # Corner choice must be FMA-proof: XLA duplicates `loc*w - 0.5` into the
+    # index fusion and the weight fusion and may contract only one copy into
+    # an FMA. At exact-integer pixel coordinates (ubiquitous with DINO's
+    # directional-bias offsets) the two copies then floor() to different
+    # corners — the gathered row and its bilinear weights disagree, silently
+    # sampling the wrong row. Shifting the floor threshold by an epsilon
+    # larger than any 1-ulp divergence makes every duplicated copy take the
+    # same branch; at exact integers this deterministically picks the
+    # (lower-corner, frac≈1) decomposition, which is bilinearly identical.
+    # Max deviation from exact grid_sample semantics: ~eps px (extrapolation
+    # when the true coordinate lies within eps of a grid line).
+    eps_x = 1e-4 + ws[:, None] * 2.0 ** -20
+    eps_y = 1e-4 + hs[:, None] * 2.0 ** -20
+    x0 = jnp.floor(x - eps_x)
+    y0 = jnp.floor(y - eps_y)
     fx = x - x0
     fy = y - y0
 
@@ -174,8 +187,10 @@ def ms_deform_attn_quad(
     for lvl, (h, w) in enumerate(spatial_shapes):
         x = loc_t[:, :, lvl, :, 0] * w - 0.5  # [B*H, Lq, P]
         y = loc_t[:, :, lvl, :, 1] * h - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
+        # FMA-proof corner choice — see _corner_gather_indices for why the
+        # floor threshold is nudged.
+        x0 = jnp.floor(x - (1e-4 + w * 2.0 ** -20))
+        y0 = jnp.floor(y - (1e-4 + h * 2.0 ** -20))
         fx = x - x0
         fy = y - y0
         x0i = x0.astype(jnp.int32)

@@ -61,8 +61,9 @@ def _kernel(loc_ref, w_ref, val_ref, out_ref, *, spatial_shapes, P):
                 k = lvl * P + p
                 x = loc_ref[0, q, k, 0] * wl - 0.5
                 y = loc_ref[0, q, k, 1] * hl - 0.5
-                x0 = jnp.floor(x)
-                y0 = jnp.floor(y)
+                # FMA-proof corner choice (see msda._corner_gather_indices)
+                x0 = jnp.floor(x - (1e-4 + wl * 2.0 ** -20))
+                y0 = jnp.floor(y - (1e-4 + hl * 2.0 ** -20))
                 fx = x - x0
                 fy = y - y0
                 x0i = x0.astype(jnp.int32)

@@ -5,8 +5,12 @@ Establishes where the current quad op sits vs the measured gather floor
 cheapest. Run on the real TPU: python tools/msda_bench.py
 """
 
+import os
+import sys
 import time
 import functools
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
