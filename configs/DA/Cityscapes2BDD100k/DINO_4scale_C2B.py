@@ -2,8 +2,8 @@
 # (reference: config/DA/Cityscapes2BDD100k/DINO_4scale_city2bdd.py)
 _base_ = ["../../DINO/DINO_4scale.py"]
 
-num_classes = 8
-dn_labelbook_size = 8
+num_classes = 9  # 8 classes, raw 1-based category ids (reference :3)
+dn_labelbook_size = 9
 epochs = 36
 lr_drop = 30
 dataset_file = "city2bdd100k"

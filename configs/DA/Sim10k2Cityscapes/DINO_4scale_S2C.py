@@ -2,8 +2,10 @@
 # (reference: config/DA/Sim10k2Cityscapes/DINO_4scale_sim2city.py)
 _base_ = ["../../DINO/DINO_4scale.py"]
 
-num_classes = 1  # car only
-dn_labelbook_size = 1
+num_classes = 2  # car (category id 1) + implicit background slot 0;
+# the reference keeps raw 1-based COCO category ids as class indices
+# (config/DA/Sim10k2Cityscapes/DINO_4scale_sim2cityscapes.py:3)
+dn_labelbook_size = 2
 epochs = 36
 lr_drop = 30
 dataset_file = "sim2city"

@@ -45,21 +45,27 @@ from .transformer import (
 RESNET_STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
 
 
-def make_backbone(name: str, dtype) -> nn.Module:
+def make_backbone(name: str, dtype, return_stages=(1, 2, 3)) -> nn.Module:
     """Backbone factory (reference: build_backbone, backbone.py:147-219 —
-    resnet50/101, swin_*, convnext_*)."""
+    resnet50/101, swin_*, convnext_*). return_stages follows the
+    reference's return_interm_indices: 0 = stride-4 stage ... 3 = stride-32;
+    [0,1,2,3] is the 5-scale configuration (config/DINO/DINO_5scale.py)."""
+    return_stages = tuple(return_stages)
     if name in RESNET_STAGES:
-        return ResNet(stage_sizes=RESNET_STAGES[name], return_stages=(1, 2, 3),
-                      dtype=dtype, name="backbone")
+        return ResNet(stage_sizes=RESNET_STAGES[name],
+                      return_stages=return_stages, dtype=dtype,
+                      name="backbone")
     if name.startswith("swin"):
         from .swin import SWIN_CONFIGS, SwinTransformer
 
-        return SwinTransformer(**SWIN_CONFIGS[name], dtype=dtype,
+        return SwinTransformer(**SWIN_CONFIGS[name],
+                               return_stages=return_stages, dtype=dtype,
                                name="backbone")
     if name.startswith("convnext"):
         from .convnext import CONVNEXT_CONFIGS, ConvNeXt
 
-        return ConvNeXt(**CONVNEXT_CONFIGS[name], dtype=dtype,
+        return ConvNeXt(**CONVNEXT_CONFIGS[name],
+                        return_stages=return_stages, dtype=dtype,
                         name="backbone")
     raise ValueError(f"unknown backbone {name!r}")
 
@@ -87,14 +93,16 @@ class DINO(nn.Module):
     dn_labelbook_size: int = 9
     # head sharing (DINO_4scale_C2F.py:66-67,100-101)
     two_stage_share_heads: bool = False
+    return_interm_indices: Tuple[int, ...] = (1, 2, 3)
     msda_impl: str = "xla"
     use_remat: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
         C = self.hidden_dim
-        self.backbone = make_backbone(self.backbone_name, self.dtype)
-        n_backbone = 3  # stages 1..3 (stride 8/16/32) for every backbone
+        self.backbone = make_backbone(self.backbone_name, self.dtype,
+                                      self.return_interm_indices)
+        n_backbone = len(self.return_interm_indices)
 
         projs = []
         for i in range(self.num_feature_levels):
@@ -105,7 +113,7 @@ class DINO(nn.Module):
                 conv = nn.Conv(C, (3, 3), strides=(2, 2), padding=1,
                                dtype=self.dtype, name=f"input_proj{i}_conv")
             projs.append(
-                (conv, nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                (conv, nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                     name=f"input_proj{i}_norm"))
             )
         self.input_projs = projs
@@ -136,7 +144,7 @@ class DINO(nn.Module):
             )
             for i in range(self.dec_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         self.ref_point_head = MLP(C, C, 2, dtype=self.dtype,
                                   name="ref_point_head")
 
@@ -164,7 +172,7 @@ class DINO(nn.Module):
                 name="enc_out_bbox_head",
             )
         self.enc_output = nn.Dense(C, dtype=self.dtype, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(dtype=self.dtype,
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                             name="enc_output_norm")
 
         self.tgt_embed = self.param(
@@ -254,21 +262,25 @@ class DINO(nn.Module):
             proposals.append(jnp.concatenate([centers, wh], axis=-1))
         proposals = jnp.concatenate(proposals, axis=1)  # [B, S, 4]
 
+        # Reference-exact semantics (deformable_transformer.py
+        # gen_encoder_output_proposals + :318-360): invalid/padded positions
+        # get zeroed memory and +inf proposal logits but are NOT excluded
+        # from the top-k — the trained class head scores them low. We use
+        # 1e6 instead of inf (sigmoid saturates identically in f32, no
+        # inf/nan propagation hazard).
         prop_valid = jnp.all(
             (proposals > 0.01) & (proposals < 0.99), axis=-1
         ) & (~mask_flat)
         out_memory = jnp.where(prop_valid[..., None], memory, 0.0)
         out_memory = self.enc_output_norm(self.enc_output(out_memory))
-        prop_unsig = inverse_sigmoid(proposals)
+        prop_unsig = jnp.where(
+            prop_valid[..., None], inverse_sigmoid(proposals), 1e6
+        )
 
         enc_class = self.enc_out_class_head(out_memory)  # [B, S, K]
         enc_coord_unsig = self.enc_out_bbox_head(out_memory) + prop_unsig
 
-        # Improvement over the reference: padded/invalid positions are
-        # explicitly excluded from top-k (the reference relies on the class
-        # head's output at zeroed features scoring low).
         scores = jnp.max(enc_class, axis=-1)
-        scores = jnp.where(prop_valid, scores, -1e9)
         _, topk_idx = jax.lax.top_k(scores, self.num_queries)  # [B, nq]
 
         def gather(x):
@@ -363,6 +375,9 @@ class DINO(nn.Module):
         global_proto: Optional[jnp.ndarray] = None,  # [K, C]
         amount: Optional[jnp.ndarray] = None,  # [K]
         deterministic: bool = True,
+        domain_adapt: bool = True,  # False: single-domain supervised
+        # training over the FULL batch, no DA branch (plain-DINO
+        # pretraining; reference datasets/coco.py:611-640 path)
     ):
         srcs, masks, poss = self._extract_features(images, pad_mask)
         src_flat, mask_flat, pos_flat, spatial_shapes = self._flatten_levels(
@@ -390,9 +405,13 @@ class DINO(nn.Module):
             return out
 
         # ---------------- training: paired source/target batch -------------
+        # (domain_adapt=False: the whole batch is supervised, halves unused)
         B = images.shape[0]
-        assert B % 2 == 0, "paired DA batches must have even batch size"
-        half = B // 2
+        if domain_adapt:
+            assert B % 2 == 0, "paired DA batches must have even batch size"
+            half = B // 2
+        else:
+            half = B
 
         def first_half(t):
             return t[:half]
@@ -441,6 +460,9 @@ class DINO(nn.Module):
         out["interm_logits"] = self.enc_out_class_head(tgt_undetach)
         out["interm_boxes"] = jax.nn.sigmoid(ref_unsig_undetach)
         out["init_box_proposal"] = init_box_proposal
+
+        if not domain_adapt:
+            return out
 
         # ---------------- DA branch ---------------------------------------
         # 1. image-level discriminator over all domains (dino.py:350-359)
@@ -522,6 +544,7 @@ def build_dino_from_config(cfg) -> DINO:
         dn_box_noise_scale=get("dn_box_noise_scale", 1.0),
         dn_labelbook_size=get("dn_labelbook_size", get("num_classes", 91)),
         two_stage_share_heads=get("two_stage_bbox_embed_share", False),
+        return_interm_indices=tuple(get("return_interm_indices", [1, 2, 3])),
         msda_impl=get("msda_impl", "xla"),
         use_remat=get("use_remat", True),
         dtype=dtype,

@@ -93,7 +93,13 @@ def shift_attn_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
                        slice(-shift, None)):
             img[:, hs, wslice, :] = cnt
             cnt += 1
-    win = np.asarray(window_partition(jnp.asarray(img), ws))[:, :, 0]
+    # numpy-only partition (same math as window_partition) so the mask can
+    # be built under abstract tracing (jax.eval_shape)
+    win = (
+        img.reshape(1, H // ws, ws, W // ws, ws, 1)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, ws * ws, 1)
+    )[:, :, 0]
     diff = win[:, None, :] - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
@@ -111,7 +117,7 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         pad_h = (ws - H % ws) % ws
         pad_w = (ws - W % ws) % ws
@@ -136,7 +142,7 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
         x = shortcut + x
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y)
@@ -157,7 +163,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2],
              x[:, 1::2, 1::2]], axis=-1,
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -178,7 +184,7 @@ class SwinTransformer(nn.Module):
         # patch embed 4x4
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
                     dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         outs = []
         dim = self.embed_dim
@@ -191,7 +197,7 @@ class SwinTransformer(nn.Module):
                 )(x)
             if stage in self.return_stages:
                 outs.append(
-                    nn.LayerNorm(dtype=self.dtype,
+                    nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                  name=f"out_norm{stage}")(x)
                 )
             if stage < len(self.depths) - 1:

@@ -68,7 +68,7 @@ class FFN(nn.Module):
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x + y)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -96,7 +96,7 @@ class DeformableEncoderLayer(nn.Module):
             impl=self.msda_impl, dtype=self.dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, padding_mask)
         attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
         return FFN(self.d_model, self.d_ffn, self.dropout, self.dtype,
                    name="ffn")(src, deterministic)
 
@@ -133,7 +133,7 @@ class DeformableDecoderLayer(nn.Module):
             dropout_rate=self.dropout, deterministic=deterministic,
         )(inputs_q=q, inputs_k=q, inputs_v=tgt, mask=mask)
         sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + sa)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + sa)
 
         # --- deformable cross-attention ('ca') ---
         ca = MSDeformAttn(
@@ -142,7 +142,7 @@ class DeformableDecoderLayer(nn.Module):
         )(tgt + query_pos, reference_points, memory, spatial_shapes,
           memory_padding_mask)
         ca = nn.Dropout(self.dropout, deterministic=deterministic)(ca)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + ca)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + ca)
 
         # --- ffn ---
         return FFN(self.d_model, self.d_ffn, self.dropout, self.dtype,
