@@ -77,6 +77,27 @@ class CocoDetectionDataset:
         }
         return img, target
 
+    def eval_annotations(self, image_id: int):
+        """Raw GT for COCO evaluation: unlike the training targets, crowd
+        annotations are KEPT (they become ignore regions in the evaluator)
+        and the annotation 'area' field is used when present — matching how
+        the reference evaluates against the original COCO API GT
+        (datasets/coco_eval.py:22-56) rather than the filtered train
+        targets."""
+        boxes, labels, iscrowd, areas = [], [], [], []
+        for a in self.index.anns_by_image[image_id]:
+            x, y, bw, bh = a["bbox"]
+            boxes.append([x, y, x + bw, y + bh])
+            labels.append(a["category_id"])
+            iscrowd.append(bool(a.get("iscrowd", 0)))
+            areas.append(float(a.get("area", bw * bh)))
+        return {
+            "boxes": np.asarray(boxes, np.float64).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int64),
+            "iscrowd": np.asarray(iscrowd, bool),
+            "areas": np.asarray(areas, np.float64),
+        }
+
 
 class DAPairedDataset:
     """Zip of source + target datasets with modulo indexing, len = max
@@ -122,7 +143,19 @@ def build_dataset(
       <direction>/val/{images,annotations.json}
     """
     d = os.path.join(data_root, dataset_file)
+    single_domain = (
+        not os.path.isdir(os.path.join(d, "source"))
+        and os.path.isdir(os.path.join(d, "train"))
+    )
     if image_set == "train":
+        if single_domain:
+            # plain COCO layout <dataset>/train — single-domain training
+            # (reference dispatch 'coco'/'city', datasets/coco.py:611-731 +
+            # datasets/__init__.py:21-45)
+            return CocoDetectionDataset(
+                os.path.join(d, "train/images"),
+                os.path.join(d, "train/annotations.json"),
+            )
         src = CocoDetectionDataset(
             os.path.join(d, "source/images"),
             os.path.join(d, "source/annotations.json"),

@@ -124,35 +124,146 @@ def make_da_loader(
     return gen()
 
 
+def make_single_loader(
+    dataset,
+    batch_size: int,
+    canvas_hw,
+    transform,  # SingleDomainTrainTransform
+    max_boxes: int = 100,
+    seed: int = 0,
+    shuffle: bool = True,
+    num_threads: int = 4,
+    epoch: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Single-domain supervised batches (plain-DINO pretraining; reference
+    collate_fn path):
+      images [b, H, W, 3], pad_mask [b, H, W],
+      boxes/labels/valid [b, max_boxes, ...]
+    """
+    n = len(dataset)
+    order = list(range(n))
+    rng = random.Random(seed + epoch)
+    if shuffle:
+        rng.shuffle(order)
+
+    def load_one(idx, seed_i):
+        r = random.Random(seed_i)
+        img, tgt = dataset.load(idx)
+        img, tgt = transform(img, tgt, r)
+        return finalize_example(img, tgt, canvas_hw, max_boxes)
+
+    batches = [
+        order[i : i + batch_size]
+        for i in range(0, n - batch_size + 1, batch_size)
+    ]
+    if process_count > 1:
+        batches = batches[process_index::process_count]
+
+    q: queue.Queue = queue.Queue(maxsize=max(2, num_threads))
+
+    def worker(chunk, base_seed):
+        for bi, idxs in chunk:
+            items = [load_one(idx, base_seed + bi * 1000 + j)
+                     for j, idx in enumerate(idxs)]
+            q.put((bi, {
+                "images": _stack(items, "image"),
+                "pad_mask": _stack(items, "pad_mask"),
+                "boxes": _stack(items, "boxes"),
+                "labels": _stack(items, "labels"),
+                "valid": _stack(items, "valid"),
+            }))
+
+    enumerated = list(enumerate(batches))
+    chunks = [enumerated[i::num_threads] for i in range(num_threads)]
+    threads = [
+        threading.Thread(target=worker, args=(c, seed + 7919 * epoch),
+                         daemon=True)
+        for c in chunks if c
+    ]
+    for t in threads:
+        t.start()
+
+    def gen():
+        buf = {}
+        want = 0
+        done = 0
+        total = len(batches)
+        while done < total:
+            bi, b = q.get()
+            buf[bi] = b
+            while want in buf:
+                yield buf.pop(want)
+                want += 1
+                done += 1
+
+    return gen()
+
+
+class EvalLoader:
+    """Eval batches with image ids + original sizes (engine.py:349-421).
+    The tail batch is padded by repeating the last image; `batch_valid`
+    marks real entries.
+
+    Iterable (re-iterable) and carries `.dataset` so engine.evaluate can
+    fetch raw GT annotations (crowd + annotation areas) for exact
+    pycocotools-style evaluation. With process_count > 1 each process
+    evaluates a strided shard of images (DistributedSampler equivalent for
+    val, reference main.py:180-186); engine.evaluate gathers the
+    detections across processes before summarizing."""
+
+    def __init__(self, dataset, batch_size: int, canvas_hw,
+                 transform: EvalTransform, max_boxes: int = 100,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.canvas_hw = canvas_hw
+        self.transform = transform
+        self.max_boxes = max_boxes
+        self.indices = list(range(len(dataset)))[process_index::process_count]
+        self.process_count = process_count
+        # equal batch counts on every process so collectives stay in step
+        self.n_batches = -(-max(len(dataset), 1) // batch_size)
+        self.n_batches = -(-self.n_batches // max(process_count, 1))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        bs = self.batch_size
+        for b in range(self.n_batches):
+            idxs = self.indices[b * bs : (b + 1) * bs]
+            n_real = len(idxs)
+            valid = np.zeros((bs,), bool)
+            valid[:n_real] = True
+            while len(idxs) < bs:
+                idxs.append(self.indices[-1] if self.indices else 0)
+            items = []
+            for idx in idxs:
+                img, tgt = self.dataset.load(idx)
+                img, tgt = self.transform(img, tgt)
+                items.append(
+                    finalize_example(img, tgt, self.canvas_hw,
+                                     self.max_boxes)
+                )
+            yield {
+                "images": _stack(items, "image"),
+                "pad_mask": _stack(items, "pad_mask"),
+                "orig_sizes": _stack(items, "orig_size").astype(np.float32),
+                "image_ids": _stack(items, "image_id"),
+                "batch_valid": valid,
+                "boxes": _stack(items, "boxes"),
+                "labels": _stack(items, "labels"),
+                "valid": _stack(items, "valid"),
+            }
+
+
 def make_eval_loader(
     dataset,
     batch_size: int,
     canvas_hw,
     transform: EvalTransform,
     max_boxes: int = 100,
-) -> Iterator[Dict[str, np.ndarray]]:
-    """Eval batches with image ids + original sizes (engine.py:349-421).
-    The tail batch is padded by repeating the last image; `batch_valid`
-    marks real entries."""
-    n = len(dataset)
-    for i in range(0, n, batch_size):
-        idxs = list(range(i, min(i + batch_size, n)))
-        valid = np.zeros((batch_size,), bool)
-        valid[: len(idxs)] = True
-        while len(idxs) < batch_size:
-            idxs.append(idxs[-1])
-        items = []
-        for idx in idxs:
-            img, tgt = dataset.load(idx)
-            img, tgt = transform(img, tgt)
-            items.append(finalize_example(img, tgt, canvas_hw, max_boxes))
-        yield {
-            "images": _stack(items, "image"),
-            "pad_mask": _stack(items, "pad_mask"),
-            "orig_sizes": _stack(items, "orig_size").astype(np.float32),
-            "image_ids": _stack(items, "image_id"),
-            "batch_valid": valid,
-            "boxes": _stack(items, "boxes"),
-            "labels": _stack(items, "labels"),
-            "valid": _stack(items, "valid"),
-        }
+    process_index: int = 0,
+    process_count: int = 1,
+) -> EvalLoader:
+    return EvalLoader(dataset, batch_size, canvas_hw, transform, max_boxes,
+                      process_index, process_count)

@@ -136,3 +136,89 @@ def lighting_noise(img: Image.Image, rng: random.Random) -> Image.Image:
 def random_select_multi(ops, rng: random.Random):
     """Pick one op from a list (sltransform.py:202 RandomSelectMulti)."""
     return ops[rng.randrange(len(ops))]
+
+
+def rotate_with_boxes(img: Image.Image, boxes_xyxy: np.ndarray,
+                      angle: float):
+    """Expand-rotate the image and map boxes to the enclosing axis-aligned
+    boxes of their rotated corners (sltransform.py:158 Rotate + its :60-105
+    rotate helper semantics: rotation about the image center,
+    counter-clockwise for positive angle, expanded canvas)."""
+    import math
+
+    w, h = img.size
+    out = img.rotate(angle, expand=True)
+    nw, nh = out.size
+    if len(boxes_xyxy) == 0:
+        return out, boxes_xyxy
+    a = math.radians(angle)
+    ca, sa = math.cos(a), math.sin(a)
+    cx, cy = w / 2.0, h / 2.0
+    b = np.asarray(boxes_xyxy, np.float32)
+    corners = np.stack(
+        [
+            b[:, [0, 1]], b[:, [2, 1]], b[:, [0, 3]], b[:, [2, 3]],
+        ],
+        axis=1,
+    )  # [N, 4, 2]
+    x = corners[..., 0] - cx
+    y = corners[..., 1] - cy
+    # image coords (y down): counter-clockwise rotation
+    rx = ca * x + sa * y + nw / 2.0
+    ry = -sa * x + ca * y + nh / 2.0
+    nb = np.stack(
+        [rx.min(1), ry.min(1), rx.max(1), ry.max(1)], axis=1
+    )
+    nb[:, 0::2] = nb[:, 0::2].clip(0, nw)
+    nb[:, 1::2] = nb[:, 1::2].clip(0, nh)
+    return out, nb.astype(np.float32)
+
+
+def iou_random_crop(img: Image.Image, boxes_xyxy: np.ndarray,
+                    labels: np.ndarray, rng: random.Random):
+    """SSD-style IoU-constrained random crop (datasets/random_crop.py:50-134
+    semantics): sample a min-IoU mode from {0.1, 0.3, 0.5, 0.9, None}; try
+    up to 50 crops of 0.3-1.0x size with aspect in [0.5, 2] whose max IoU
+    against the GT clears the mode; keep boxes whose center is inside,
+    clamped and shifted to crop coords."""
+    w, h = img.size
+    mode = rng.choice([0.1, 0.3, 0.5, 0.9, None])
+    b = np.asarray(boxes_xyxy, np.float32)
+    if mode is None or len(b) == 0:
+        return img, b, labels
+    area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    for _ in range(50):
+        nh = rng.uniform(0.3 * h, h)
+        nw = rng.uniform(0.3 * w, w)
+        if nh / nw < 0.5 or nh / nw > 2.0:
+            continue
+        left = int(rng.uniform(0, w - nw))
+        top = int(rng.uniform(0, h - nh))
+        right = int(left + nw)
+        bottom = int(top + nh)
+        ix = np.clip(
+            np.minimum(b[:, 2], right) - np.maximum(b[:, 0], left), 0, None
+        )
+        iy = np.clip(
+            np.minimum(b[:, 3], bottom) - np.maximum(b[:, 1], top), 0, None
+        )
+        inter = ix * iy
+        crop_area = (right - left) * (bottom - top)
+        iou = inter / np.maximum(area + crop_area - inter, 1e-9)
+        if iou.max() < mode:
+            continue
+        ctr_x = (b[:, 0] + b[:, 2]) / 2.0
+        ctr_y = (b[:, 1] + b[:, 3]) / 2.0
+        keep = ((ctr_x > left) & (ctr_x < right)
+                & (ctr_y > top) & (ctr_y < bottom))
+        if not keep.any():
+            continue
+        nb = b[keep].copy()
+        nb[:, 0::2] = nb[:, 0::2].clip(left, right) - left
+        nb[:, 1::2] = nb[:, 1::2].clip(top, bottom) - top
+        return (
+            img.crop((left, top, right, bottom)),
+            nb.astype(np.float32),
+            np.asarray(labels)[keep],
+        )
+    return img, b, labels

@@ -136,6 +136,41 @@ class DATrainTransform:
         return img, img_strong, target
 
 
+class SingleDomainTrainTransform:
+    """Single-domain train pipeline (reference make_coco_transforms,
+    DAcoco.py:483-560): the DA weak-geometry chain on one (img, target)
+    pair; with strong_aug, one of {LightingNoise, AdjustBrightness(2),
+    AdjustContrast(2)} via RandomSelectMulti (the sltransform extras path,
+    :529-548)."""
+
+    def __init__(self, scales, max_size, scales2_resize, scales2_crop,
+                 strong_aug=False, hflip_prob=0.5):
+        self._geo = DATrainTransform(scales, max_size, scales2_resize,
+                                     scales2_crop, hflip_prob)
+        self.strong_aug = strong_aug
+
+    def __call__(self, img, target, rng: random.Random):
+        img, _, target = self._geo(img, None, target, rng)
+        if self.strong_aug:
+            from .strong_aug import (
+                adjust_brightness,
+                adjust_contrast,
+                lighting_noise,
+                random_select_multi,
+            )
+
+            op = random_select_multi(
+                [
+                    lambda im: lighting_noise(im, rng),
+                    lambda im: adjust_brightness(im, rng.uniform(0.5, 2.0)),
+                    lambda im: adjust_contrast(im, rng.uniform(0.5, 2.0)),
+                ],
+                rng,
+            )
+            img = op(img)
+        return img, target
+
+
 class EvalTransform:
     def __init__(self, size, max_size):
         self.size = size

@@ -23,6 +23,7 @@ from .train.ema import cosine_decay, ema_update, ramped_decay
 from .train.steps import (
     eval_step,
     train_step_burnin,
+    train_step_plain,
     train_step_self_training,
 )
 from .utils.logger import MetricLogger
@@ -32,14 +33,38 @@ from .eval.coco_eval import CocoEvaluator
 def train_one_epoch(
     state, model, tx, loader: Iterable, ccfg: CriterionCfg,
     weight_dict: Dict[str, float], epoch: int, logger=None,
-    print_freq: int = 10,
+    print_freq: int = 10, ema_decay: float = 0.0,
 ):
     ml = MetricLogger(logger=logger)
     for batch in ml.log_every(loader, print_freq, f"Epoch: [{epoch}]"):
         batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("images_strong", "real_sizes")}
         state, metrics = train_step_burnin(
-            state, batch, model, tx, ccfg, weight_dict
+            state, batch, model, tx, ccfg, weight_dict,
+            ema_decay=ema_decay,
+        )
+        loss = float(metrics["loss"])
+        if not math.isfinite(loss):
+            print(f"Loss is {loss}, stopping training", file=sys.stderr)
+            sys.exit(1)
+        ml.update(loss=loss,
+                  class_error=float(metrics.get("class_error", 0.0)))
+    return state, {k: m.global_avg for k, m in ml.meters.items()}
+
+
+def train_one_epoch_plain(
+    state, model, tx, loader: Iterable, ccfg: CriterionCfg,
+    weight_dict: Dict[str, float], epoch: int, logger=None,
+    print_freq: int = 10, ema_decay: float = 0.0,
+):
+    """Single-domain supervised epoch (plain-DINO pretraining; reference
+    single-domain dataset path, datasets/coco.py:611-640)."""
+    ml = MetricLogger(logger=logger)
+    for batch in ml.log_every(loader, print_freq, f"Epoch: [{epoch}]"):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = train_step_plain(
+            state, batch, model, tx, ccfg, weight_dict,
+            ema_decay=ema_decay,
         )
         loss = float(metrics["loss"])
         if not math.isfinite(loss):
@@ -53,7 +78,7 @@ def train_one_epoch(
 def train_one_epoch_self_training(
     state, model, tx, loader: Iterable, ccfg: CriterionCfg,
     weight_dict: Dict[str, float], class_thresholds, canvas_hw,
-    epoch: int, logger=None, print_freq: int = 10,
+    epoch: int, logger=None, print_freq: int = 10, ema_decay: float = 0.0,
 ):
     ml = MetricLogger(logger=logger)
     thr = jnp.asarray(class_thresholds)
@@ -62,7 +87,7 @@ def train_one_epoch_self_training(
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = train_step_self_training(
             state, batch, model, tx, ccfg, weight_dict, thr,
-            canvas_hw=tuple(canvas_hw),
+            canvas_hw=tuple(canvas_hw), ema_decay=ema_decay,
         )
         loss = float(metrics["loss"])
         if not math.isfinite(loss):
@@ -103,6 +128,12 @@ def evaluate(
     evaluator = CocoEvaluator(categories)
     dumped = [] if save_results_path else None
     ml = MetricLogger(logger=logger)
+    # raw GT (crowd annotations + annotation areas) when the dataset
+    # provides it — matches the reference's evaluation against the
+    # original COCO API GT (datasets/coco_eval.py:22-56)
+    dataset = getattr(loader, "dataset", None)
+    raw_gt = getattr(dataset, "eval_annotations", None)
+    det_records = []  # per-image fixed-shape det arrays (for multi-host)
     for batch in ml.log_every(loader, print_freq, "Test:"):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("images", "pad_mask", "orig_sizes")}
@@ -112,32 +143,86 @@ def evaluate(
             if not batch["batch_valid"][i]:
                 continue
             oh, ow = batch["orig_sizes"][i]
-            # GT boxes back to absolute xyxy in orig coords
-            gb = np.asarray(batch["boxes"][i], np.float64)
-            gv = np.asarray(batch["valid"][i], bool)
-            gl = np.asarray(batch["labels"][i])
-            cx, cy, w_, h_ = gb[:, 0], gb[:, 1], gb[:, 2], gb[:, 3]
-            xyxy = np.stack(
-                [cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2], 1
-            ) * np.array([ow, oh, ow, oh])
+            if raw_gt is not None:
+                ann = raw_gt(int(batch["image_ids"][i]))
+                gt_kw = dict(
+                    gt_boxes=ann["boxes"], gt_labels=ann["labels"],
+                    gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
+                )
+            else:
+                # GT boxes back to absolute xyxy in orig coords
+                gb = np.asarray(batch["boxes"][i], np.float64)
+                gv = np.asarray(batch["valid"][i], bool)
+                gl = np.asarray(batch["labels"][i])
+                cx, cy, w_, h_ = gb[:, 0], gb[:, 1], gb[:, 2], gb[:, 3]
+                xyxy = np.stack(
+                    [cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2], 1
+                ) * np.array([ow, oh, ow, oh])
+                gt_kw = dict(gt_boxes=xyxy[gv], gt_labels=gl[gv])
             evaluator.add_image(
                 int(batch["image_ids"][i]),
-                xyxy[gv], gl[gv],
-                res["boxes"][i], res["scores"][i], res["labels"][i],
+                det_boxes=res["boxes"][i], det_scores=res["scores"][i],
+                det_labels=res["labels"][i], **gt_kw,
             )
+            det_records.append((
+                int(batch["image_ids"][i]), res["boxes"][i],
+                res["scores"][i], res["labels"][i],
+            ))
             if dumped is not None:
                 dumped.append(dict(
                     image_id=int(batch["image_ids"][i]),
-                    gt_boxes=xyxy[gv], gt_labels=gl[gv],
                     boxes=res["boxes"][i], scores=res["scores"][i],
-                    labels=res["labels"][i],
+                    labels=res["labels"][i], **gt_kw,
                 ))
     if dumped is not None:
         np.savez_compressed(save_results_path,
                             results=np.array(dumped, dtype=object))
+    if jax.process_count() > 1 and raw_gt is not None:
+        _merge_across_processes(evaluator, det_records, raw_gt, num_select)
     stats = evaluator.summarize()
     if logger:
         logger.info(
             "COCO stats: AP=%.4f AP50=%.4f AP75=%.4f" % tuple(stats[:3])
         )
     return {"coco_eval_bbox": stats, "ap50": stats[1]}
+
+
+def _merge_across_processes(evaluator, det_records, raw_gt, num_select):
+    """Gather every process's eval-shard detections so each process computes
+    identical global stats (reference: CocoEvaluator.synchronize_between_
+    processes, datasets/coco_eval.py:58-61, via pickle all_gather
+    misc.py:96-136 — here fixed-shape arrays + process_allgather; GT comes
+    from the shared annotation file, so only detections travel)."""
+    from jax.experimental import multihost_utils
+
+    n_local = len(det_records)
+    n_max = int(
+        multihost_utils.process_allgather(np.array(n_local)).max()
+    )
+    ids = np.full((n_max,), -1, np.int64)
+    boxes = np.zeros((n_max, num_select, 4), np.float32)
+    scores = np.zeros((n_max, num_select), np.float32)
+    labels = np.zeros((n_max, num_select), np.int32)
+    for i, (iid, b, s, l) in enumerate(det_records):
+        ids[i] = iid
+        boxes[i] = b
+        scores[i] = s
+        labels[i] = l
+    g_ids, g_boxes, g_scores, g_labels = multihost_utils.process_allgather(
+        (ids, boxes, scores, labels)
+    )
+    me = jax.process_index()
+    for p in range(jax.process_count()):
+        if p == me:
+            continue
+        for i in range(n_max):
+            iid = int(g_ids[p, i])
+            if iid < 0:
+                continue
+            ann = raw_gt(iid)
+            evaluator.add_image(
+                iid, ann["boxes"], ann["labels"],
+                np.asarray(g_boxes[p, i]), np.asarray(g_scores[p, i]),
+                np.asarray(g_labels[p, i]),
+                gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
+            )

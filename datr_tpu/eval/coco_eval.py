@@ -2,16 +2,25 @@
 
 Capability match for datasets/coco_eval.py:CocoEvaluator (:22-266), which
 wraps pycocotools' COCOeval. pycocotools is not available in this image, so
-the full evaluation protocol is implemented here: greedy score-ordered
-matching at IoU thresholds 0.50:0.05:0.95, 101-point interpolated precision,
-area ranges (all/small/medium/large), maxDets (1/10/100), and the standard
-12-number summary — index 1 is AP50, the model-selection metric
-(main.py:416-515 keys best checkpoints on coco_eval_bbox[1]).
+the full evaluation protocol is implemented here and cross-validated against
+a literal re-implementation of pycocotools' control flow on adversarial
+fixtures (tests/cocoeval_oracle.py + tests/test_coco_eval_oracle.py): greedy
+score-ordered matching at IoU thresholds 0.50:0.05:0.95 with the crowd /
+ignore / break rules, 101-point interpolated precision, area ranges
+(all/small/medium/large) on the ANNOTATION area when provided, maxDets
+(1/10/100) sliced after a single maxDet=100 matching pass (pycocotools
+structure), and the standard 12-number summary — index 1 is AP50, the
+model-selection metric (main.py:416-515 keys best checkpoints on
+coco_eval_bbox[1]).
+
+The per-detection greedy argmax is vectorized over the 10 IoU thresholds and
+all GTs (pycocotools' triple python loop is the reason its eval is slow);
+matching runs once per (image, category, area) instead of the naive
+(category, area, maxDet) x image ordering.
 
 Distributed merge: the reference pickles+all_gathers per-rank results
 (coco_eval.py:58-61, misc.py:96-136); here each host accumulates its shard
-and `merge()` concatenates — under jit/SPMD eval the detections already live
-on host 0, so the merge is a plain list extend.
+and `merge()` concatenates.
 """
 
 from __future__ import annotations
@@ -48,7 +57,46 @@ def _iou_xyxy(d: np.ndarray, g: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
     inter = wh[..., 0] * wh[..., 1]
     union = np.where(iscrowd[None, :], da[:, None],
                      da[:, None] + ga[None, :] - inter)
-    return inter / np.clip(union, 1e-12, None)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / np.where(union > 0, union, 1.0),
+                       0.0)
+    return iou
+
+
+def _greedy_match(ious, g_ignore, crowd):
+    """Vectorized pycocotools evaluateImg matching.
+
+    ious [D, G] for score-sorted dets x ignore-sorted gts. Returns
+    (dt_m [T, D], gt_m [T, G]) with -1 for unmatched. Semantics (cocoeval
+    evaluateImg): per det, pick the max-IoU gt >= min(thr, 1-1e-10) among
+    still-unmatched-or-crowd gts, preferring non-ignored gts over ignored
+    ones regardless of IoU; ties go to the LATER gt index.
+    """
+    T = len(IOU_THRS)
+    D, G = ious.shape
+    dt_m = np.full((T, D), -1, np.int64)
+    gt_m = np.full((T, G), -1, np.int64)
+    if D == 0 or G == 0:
+        return dt_m, gt_m
+    thr = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]  # [T, 1]
+    nonig = ~g_ignore[None, :]  # [1, G]
+    for di in range(D):
+        iou_d = ious[di][None, :]  # [1, G]
+        avail = (gt_m < 0) | crowd[None, :]  # [T, G]
+        ok = avail & (iou_d >= thr)
+        cand1 = ok & nonig
+        cand2 = ok & ~nonig
+        m1 = np.where(cand1, iou_d, -np.inf)
+        m2 = np.where(cand2, iou_d, -np.inf)
+        pick1 = G - 1 - np.argmax(m1[:, ::-1], axis=1)
+        pick2 = G - 1 - np.argmax(m2[:, ::-1], axis=1)
+        has1 = cand1.any(axis=1)
+        has2 = cand2.any(axis=1)
+        pick = np.where(has1, pick1, np.where(has2, pick2, -1))
+        tsel = np.nonzero(pick >= 0)[0]
+        dt_m[tsel, di] = pick[tsel]
+        gt_m[tsel, pick[tsel]] = di
+    return dt_m, gt_m
 
 
 class CocoEvaluator:
@@ -69,14 +117,23 @@ class CocoEvaluator:
         det_scores: np.ndarray,  # [D]
         det_labels: np.ndarray,  # [D]
         gt_iscrowd: np.ndarray | None = None,
+        gt_areas: np.ndarray | None = None,  # annotation areas (segmentation
+        # area in real COCO jsons); defaults to box area
     ):
         image_id = int(image_id)
+        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
         if gt_iscrowd is None:
             gt_iscrowd = np.zeros((len(gt_boxes),), bool)
+        if gt_areas is None:
+            gt_areas = (
+                np.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 0, None)
+                * np.clip(gt_boxes[:, 3] - gt_boxes[:, 1], 0, None)
+            )
         self._gt[image_id] = {
-            "boxes": np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+            "boxes": gt_boxes,
             "labels": np.asarray(gt_labels, np.int64).reshape(-1),
             "iscrowd": np.asarray(gt_iscrowd, bool).reshape(-1),
+            "areas": np.asarray(gt_areas, np.float64).reshape(-1),
         }
         self._dt[image_id] = {
             "boxes": np.asarray(det_boxes, np.float64).reshape(-1, 4),
@@ -90,12 +147,15 @@ class CocoEvaluator:
 
     # -- evaluation -------------------------------------------------------
     def _evaluate_img(self, img_id, cat, area_rng, max_det):
+        """One (image, category, area) matching pass at maxDet=max_det
+        (pycocotools COCOeval.evaluateImg)."""
         gt = self._gt[img_id]
         dt = self._dt[img_id]
         gm = gt["labels"] == cat
         dm = dt["labels"] == cat
         g = gt["boxes"][gm]
         crowd = gt["iscrowd"][gm]
+        ga = gt["areas"][gm]
         d = dt["boxes"][dm]
         ds = dt["scores"][dm]
 
@@ -103,9 +163,6 @@ class CocoEvaluator:
         d = d[order]
         ds = ds[order]
 
-        ga = np.clip(g[:, 2] - g[:, 0], 0, None) * np.clip(
-            g[:, 3] - g[:, 1], 0, None
-        )
         g_ignore = crowd | (ga < area_rng[0]) | (ga > area_rng[1])
         # sort gt: non-ignored first (pycocotools convention)
         g_order = np.argsort(g_ignore, kind="mergesort")
@@ -114,40 +171,23 @@ class CocoEvaluator:
         crowd = crowd[g_order]
 
         ious = _iou_xyxy(d, g, crowd)
-        T = len(IOU_THRS)
-        D, G = len(d), len(g)
-        dt_m = -np.ones((T, D), np.int64)
-        gt_m = -np.ones((T, G), np.int64)
-        for t, thr in enumerate(IOU_THRS):
-            for di in range(D):
-                best = thr
-                best_g = -1
-                for gi in range(G):
-                    if gt_m[t, gi] >= 0 and not crowd[gi]:
-                        continue
-                    # stop at ignored gt if a real match was already found
-                    if best_g >= 0 and not g_ignore[best_g] and g_ignore[gi]:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best = ious[di, gi]
-                    best_g = gi
-                if best_g >= 0:
-                    dt_m[t, di] = best_g
-                    gt_m[t, best_g] = di
+        dt_m, gt_m = _greedy_match(ious, g_ignore, crowd)
+
+        T, D = dt_m.shape
         da = np.clip(d[:, 2] - d[:, 0], 0, None) * np.clip(
             d[:, 3] - d[:, 1], 0, None
         )
         d_out_of_range = (da < area_rng[0]) | (da > area_rng[1])
+        matched = dt_m >= 0
         dt_ignore = np.zeros((T, D), bool)
         for t in range(T):
-            matched = dt_m[t] >= 0
-            ig_match = np.zeros((D,), bool)
-            ig_match[matched] = g_ignore[dt_m[t][matched]]
-            dt_ignore[t] = ig_match | ((~matched) & d_out_of_range)
+            m = matched[t]
+            ig = np.zeros((D,), bool)
+            ig[m] = g_ignore[dt_m[t][m]]
+            dt_ignore[t] = ig | ((~m) & d_out_of_range)
         return {
             "scores": ds,
-            "dt_matched": dt_m >= 0,
+            "dt_matched": matched,
             "dt_ignore": dt_ignore,
             "n_gt": int((~g_ignore).sum()),
         }
@@ -158,24 +198,31 @@ class CocoEvaluator:
         A, M, K = len(AREA_RANGES), len(MAX_DETS), len(self.categories)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
+        top_det = MAX_DETS[-1]
 
         for ki, cat in enumerate(self.categories):
             for ai, area_rng in enumerate(AREA_RANGES.values()):
+                # one matching pass at maxDet=100; smaller maxDets are
+                # prefix slices (pycocotools accumulate :0maxDet slicing —
+                # valid because greedy matching of det i depends only on
+                # dets before it)
+                evs = [
+                    self._evaluate_img(i, cat, area_rng, top_det)
+                    for i in img_ids
+                ]
+                n_gt = sum(e["n_gt"] for e in evs)
+                if n_gt == 0:
+                    continue
                 for mi, max_det in enumerate(MAX_DETS):
-                    evs = [
-                        self._evaluate_img(i, cat, area_rng, max_det)
-                        for i in img_ids
-                    ]
-                    n_gt = sum(e["n_gt"] for e in evs)
-                    if n_gt == 0:
-                        continue
-                    scores = np.concatenate([e["scores"] for e in evs])
+                    scores = np.concatenate(
+                        [e["scores"][:max_det] for e in evs]
+                    )
                     order = np.argsort(-scores, kind="mergesort")
                     matched = np.concatenate(
-                        [e["dt_matched"] for e in evs], axis=1
+                        [e["dt_matched"][:, :max_det] for e in evs], axis=1
                     )[:, order]
                     ignored = np.concatenate(
-                        [e["dt_ignore"] for e in evs], axis=1
+                        [e["dt_ignore"][:, :max_det] for e in evs], axis=1
                     )[:, order]
                     tps = matched & ~ignored
                     fps = ~matched & ~ignored
@@ -185,7 +232,7 @@ class CocoEvaluator:
                         tp = tp_cum[t]
                         fp = fp_cum[t]
                         rc = tp / n_gt
-                        pr = tp / np.maximum(tp + fp, np.finfo(float).eps)
+                        pr = tp / np.maximum(tp + fp, np.spacing(1))
                         recall[t, ki, ai, mi] = rc[-1] if len(rc) else 0.0
                         # monotone-decreasing interpolation from the right
                         pr = pr.tolist()

@@ -24,13 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import apply_overrides, load_config
-from .data.coco import build_dataset
-from .data.loader import make_da_loader, make_eval_loader
+from .data.coco import DAPairedDataset, build_dataset
+from .data.loader import (
+    make_da_loader,
+    make_eval_loader,
+    make_single_loader,
+)
 from .data.synthetic import SyntheticDetectionDataset, synthetic_da_pair
-from .data.transforms import DATrainTransform, EvalTransform
+from .data.transforms import (
+    DATrainTransform,
+    EvalTransform,
+    SingleDomainTrainTransform,
+)
 from .engine import (
     evaluate,
     train_one_epoch,
+    train_one_epoch_plain,
     train_one_epoch_self_training,
     update_emas_per_epoch,
 )
@@ -49,6 +58,10 @@ def get_args_parser():
     p.add_argument("--output_dir", default="runs/exp")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--ema", action="store_true",
+                   help="with --eval: evaluate the --use_ema ModelEma track "
+                        "instead of the student (scripts/DINO_eval_ema.sh; "
+                        "reference inference_ema_model.py:91)")
     p.add_argument("--resume", default="")
     p.add_argument("--pretrain_model_path", default="")
     p.add_argument("--finetune_ignore", nargs="+", default=[],
@@ -104,10 +117,20 @@ def main(args):
             range(1, cfg.num_classes)
         )
 
-    train_tf = DATrainTransform(
-        cfg.data_aug_scales, cfg.data_aug_max_size,
-        cfg.data_aug_scales2_resize, cfg.data_aug_scales2_crop,
+    single_domain = not isinstance(train_ds, DAPairedDataset) and not (
+        args.synthetic
     )
+    if single_domain:
+        train_tf = SingleDomainTrainTransform(
+            cfg.data_aug_scales, cfg.data_aug_max_size,
+            cfg.data_aug_scales2_resize, cfg.data_aug_scales2_crop,
+            strong_aug=cfg.get("strong_aug", False),
+        )
+    else:
+        train_tf = DATrainTransform(
+            cfg.data_aug_scales, cfg.data_aug_max_size,
+            cfg.data_aug_scales2_resize, cfg.data_aug_scales2_crop,
+        )
     eval_tf = EvalTransform(max(cfg.data_aug_scales), cfg.data_aug_max_size)
 
     # --- init state ---
@@ -177,13 +200,17 @@ def main(args):
         logger.info(f"loaded pretrain weights: {args.pretrain_model_path}")
     state, start_epoch = maybe_auto_resume(args.output_dir, state)
 
-    def make_val_loader():
-        return make_eval_loader(val_ds, cfg.batch_size, canvas_hw, eval_tf,
-                                max_boxes)
+    # one re-iterable eval loader for the whole run (the reference
+    # rebuilds DataLoaders; EvalLoader re-iterates cheaply)
+    val_loader = make_eval_loader(val_ds, cfg.batch_size, canvas_hw, eval_tf,
+                                  max_boxes,
+                                  process_index=jax.process_index(),
+                                  process_count=jax.process_count())
 
     if args.eval:
+        eval_params = state.model_ema if args.ema else state.params
         stats = evaluate(
-            state.params, model, make_val_loader(), categories,
+            eval_params, model, val_loader, categories,
             cfg.num_select, logger,
             save_results_path=os.path.join(args.output_dir, "results.npz")
             if args.save_results else None,
@@ -208,24 +235,43 @@ def main(args):
                 loaded = load_pretrain_params(best_teacher, state.params)
                 state = state.replace(params=loaded)
                 logger.info("reloaded best_ema_teacher weights at lr_drop")
-        loader = make_da_loader(
-            train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
-            seed=args.seed, epoch=epoch,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
-        )
+        if single_domain:
+            loader = make_single_loader(
+                train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
+                seed=args.seed, epoch=epoch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
+        else:
+            loader = make_da_loader(
+                train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
+                seed=args.seed, epoch=epoch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
         if args.debug:
             import itertools
 
             loader = itertools.islice(loader, 4)
-        if epoch < burn_epochs:
+        # --use_ema per-step ModelEma, active from ema_epoch on
+        # (reference main.py:149-152, engine per-iter ema_m.update)
+        ema_decay = float(cfg.get("ema_decay", 0.9997)) if (
+            cfg.get("use_ema") and epoch >= int(cfg.get("ema_epoch", 0))
+        ) else 0.0
+        if single_domain:
+            state, train_stats = train_one_epoch_plain(
+                state, model, tx, loader, ccfg, weight_dict, epoch, logger,
+                ema_decay=ema_decay,
+            )
+        elif epoch < burn_epochs:
             state, train_stats = train_one_epoch(
-                state, model, tx, loader, ccfg, weight_dict, epoch, logger
+                state, model, tx, loader, ccfg, weight_dict, epoch, logger,
+                ema_decay=ema_decay,
             )
         else:
             state, train_stats = train_one_epoch_self_training(
                 state, model, tx, loader, ccfg, weight_dict, thresholds,
-                canvas_hw, epoch, logger,
+                canvas_hw, epoch, logger, ema_decay=ema_decay,
             )
         state = update_emas_per_epoch(state, epoch, cfg)
 
@@ -241,23 +287,30 @@ def main(args):
 
         # --- per-epoch eval: student + EMA teacher (+ best-EMA after
         # burn-in), best families keyed on AP50 (main.py:416-515) ---
-        stats = evaluate(state.params, model, make_val_loader(), categories,
+        stats = evaluate(state.params, model, val_loader, categories,
                          cfg.num_select, logger)
         best.update("checkpoint_best_regular", stats["ap50"],
                     jax.device_get(state.params), epoch)
-        t_stats = evaluate(state.ema_teacher, model, make_val_loader(),
+        t_stats = evaluate(state.ema_teacher, model, val_loader,
                            categories, cfg.num_select, logger)
         best.update("best_ema_teacher", t_stats["ap50"],
                     jax.device_get(state.ema_teacher), epoch)
+        if cfg.get("use_ema"):
+            # 4th family: the --use_ema ModelEma track (main.py:448-457)
+            e_stats = evaluate(state.model_ema, model, val_loader,
+                               categories, cfg.num_select, logger)
+            best.update("checkpoint_best_ema", e_stats["ap50"],
+                        jax.device_get(state.model_ema), epoch)
         log_line = {
             "epoch": epoch,
             **{f"train_{k}": v for k, v in train_stats.items()},
             "ap50_student": stats["ap50"],
             "ap50_teacher": t_stats["ap50"],
+            **({"ap50_ema": e_stats["ap50"]} if cfg.get("use_ema") else {}),
             "time": time.time() - t0,
         }
         if epoch >= burn_epochs:
-            b_stats = evaluate(state.best_ema, model, make_val_loader(),
+            b_stats = evaluate(state.best_ema, model, val_loader,
                                categories, cfg.num_select, logger)
             best.update("best_ema_model", b_stats["ap50"],
                         jax.device_get(state.best_ema), epoch)

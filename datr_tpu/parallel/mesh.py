@@ -101,6 +101,7 @@ def shard_train_state(state: Any, mesh: Mesh) -> Any:
         ),
         ema_teacher=like_params(state.ema_teacher),
         best_ema=like_params(state.best_ema),
+        model_ema=like_params(state.model_ema),
         global_proto=jax.device_put(state.global_proto, repl),
         amount=jax.device_put(state.amount, repl),
         ema_updates=jax.device_put(state.ema_updates, repl),

@@ -22,6 +22,9 @@ class TrainState:
     opt_state: Any
     ema_teacher: Any  # ModelEMA(0.9997) track — pseudo-label teacher
     best_ema: Any  # CosineEMA track of the teacher
+    model_ema: Any  # --use_ema per-step ModelEma of the student
+    # (reference util/utils.py:373-397 + main.py:149-152, saved as the
+    # checkpoint_best_ema family, main.py:448-457)
     global_proto: jnp.ndarray  # [K, C]
     amount: jnp.ndarray  # [K]
     ema_updates: jnp.ndarray  # int32 counter for the ramped decay
@@ -35,6 +38,7 @@ def create_train_state(params, tx, num_classes: int, hidden_dim: int, rng):
         opt_state=tx.init(params),
         ema_teacher=jax.tree.map(jnp.copy, params),
         best_ema=jax.tree.map(jnp.copy, params),
+        model_ema=jax.tree.map(jnp.copy, params),
         global_proto=jnp.zeros((num_classes, hidden_dim)),
         amount=jnp.zeros((num_classes,)),
         ema_updates=jnp.int32(0),

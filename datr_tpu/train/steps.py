@@ -31,7 +31,8 @@ def _split_rng(state: TrainState):
     return rng, sub
 
 
-@functools.partial(jax.jit, static_argnames=("model", "tx", "ccfg"),
+@functools.partial(jax.jit,
+                   static_argnames=("model", "tx", "ccfg", "ema_decay"),
                    donate_argnums=(0,))
 def train_step_burnin(
     state: TrainState,
@@ -40,6 +41,7 @@ def train_step_burnin(
     tx,
     ccfg: CriterionCfg,
     weight_dict: Dict[str, float],
+    ema_decay: float = 0.0,  # --use_ema per-step ModelEma (main.py:149-152)
 ):
     rng, dn_rng = _split_rng(state)
 
@@ -66,13 +68,63 @@ def train_step_burnin(
         params=new_params, opt_state=new_opt, rng=rng,
         global_proto=new_proto, amount=new_amount, step=state.step + 1,
     )
+    if ema_decay > 0.0:
+        from .ema import ema_update
+
+        new_state = new_state.replace(
+            model_ema=ema_update(state.model_ema, new_params, ema_decay)
+        )
     return new_state, metrics
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "tx", "ccfg", "ema_decay"),
+                   donate_argnums=(0,))
+def train_step_plain(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    model,
+    tx,
+    ccfg: CriterionCfg,
+    weight_dict: Dict[str, float],
+    ema_decay: float = 0.0,
+):
+    """Single-domain supervised step: plain-DINO pretraining, full batch
+    labeled, no DA branch (reference single-domain path,
+    datasets/coco.py:611-640 + main.py without DA losses)."""
+    rng, dn_rng = _split_rng(state)
+
+    def loss_fn(params):
+        out = model.apply(
+            params, batch["images"], batch["pad_mask"],
+            targets={k: batch[k] for k in ("boxes", "labels", "valid")},
+            dn_rng=dn_rng, train=True, domain_adapt=False,
+        )
+        losses = criterion(out, batch["labels"], batch["boxes"],
+                           batch["valid"], ccfg)
+        return weighted_total(losses, weight_dict), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    new_state = state.replace(
+        params=new_params, opt_state=new_opt, rng=rng, step=state.step + 1,
+    )
+    if ema_decay > 0.0:
+        from .ema import ema_update
+
+        new_state = new_state.replace(
+            model_ema=ema_update(state.model_ema, new_params, ema_decay)
+        )
+    return new_state, {"loss": total, **losses}
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "tx", "ccfg", "canvas_hw", "num_select",
-                     "max_pseudo"),
+                     "max_pseudo", "ema_decay"),
     donate_argnums=(0,),
 )
 def train_step_self_training(
@@ -86,6 +138,7 @@ def train_step_self_training(
     canvas_hw=(800, 1344),
     num_select: int = 300,
     max_pseudo: int = 100,
+    ema_decay: float = 0.0,
 ):
     rng, dn_rng = _split_rng(state)
     B = batch["images"].shape[0]
@@ -137,6 +190,12 @@ def train_step_self_training(
         params=new_params, opt_state=new_opt, rng=rng,
         global_proto=new_proto, amount=new_amount, step=state.step + 1,
     )
+    if ema_decay > 0.0:
+        from .ema import ema_update
+
+        new_state = new_state.replace(
+            model_ema=ema_update(state.model_ema, new_params, ema_decay)
+        )
     return new_state, metrics
 
 
