@@ -126,3 +126,62 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra():
+    B, H, D, L, P = 2, 8, 32, 4, 4
+    S = sum(h * w for h, w in SHAPES_4SCALE)
+    Lq = S
+    rng = np.random.default_rng(0)
+    T = S + sum(w + 1 for _, w in SHAPES_4SCALE)
+    table = jnp.asarray(rng.standard_normal((B * H, T, 128)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, T, (B * H, Lq * L * P)), jnp.int32)
+    cw4 = jnp.asarray(rng.standard_normal((B * H, Lq * L * P, 4)),
+                      jnp.bfloat16)
+    fold = jnp.asarray(np.tile(np.eye(D), (4, 1)), jnp.float32)
+
+    # lane-iota corner select: w_lane built INSIDE the multiply+reduce
+    # fusion — no MXU dot, no relayout, single pass over g
+    def gather_lanesel(table, idx, cw, c):
+        cid = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // D
+
+        def one(args):
+            t, ix, w_ = args
+            g = jnp.take(t, ix, axis=0)  # [N, 128]
+            w_lane = jnp.where(
+                cid == 0, w_[:, 0:1],
+                jnp.where(cid == 1, w_[:, 1:2],
+                          jnp.where(cid == 2, w_[:, 2:3], w_[:, 3:4])))
+            r = (g * w_lane).reshape(Lq, L * P, 128).sum(axis=1)
+            return jnp.dot(r, fold, preferred_element_type=jnp.float32)
+
+        return jax.lax.map(one, (table, idx + (c * 1e-12).astype(jnp.int32),
+                                 cw))
+
+    dt = measure(gather_lanesel, (table, idx, cw4))
+    print(f"gather+lanesel+reduce+fold:        {dt*1e3:8.2f} ms", flush=True)
+
+    # same but f32 accumulate in the reduce
+    def gather_lanesel_f32(table, idx, cw, c):
+        cid = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // D
+
+        def one(args):
+            t, ix, w_ = args
+            g = jnp.take(t, ix, axis=0)
+            w_lane = jnp.where(
+                cid == 0, w_[:, 0:1],
+                jnp.where(cid == 1, w_[:, 1:2],
+                          jnp.where(cid == 2, w_[:, 2:3], w_[:, 3:4])))
+            r = (g.astype(jnp.float32) * w_lane.astype(jnp.float32)).reshape(
+                Lq, L * P, 128).sum(axis=1)
+            return jnp.dot(r, fold, preferred_element_type=jnp.float32)
+
+        return jax.lax.map(one, (table, idx + (c * 1e-12).astype(jnp.int32),
+                                 cw))
+
+    dt = measure(gather_lanesel_f32, (table, idx, cw4))
+    print(f"gather+lanesel f32 reduce:         {dt*1e3:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    extra()
