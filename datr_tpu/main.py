@@ -77,6 +77,15 @@ def get_args_parser():
 
 
 def main(args):
+    # multi-host SPMD init (reference: util/misc.py init_distributed_mode
+    # over torch.distributed; here jax.distributed — one process per host,
+    # launched by scripts/DINO_train*_dist.sh)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
     cfg = load_config(args.config_file)
     cfg = apply_overrides(cfg, args.options)
     os.makedirs(args.output_dir, exist_ok=True)
