@@ -63,8 +63,10 @@ def main():
     ap.add_argument("--image", required=True)
     ap.add_argument("--out", default="inference_out.png")
     ap.add_argument("--ema", action="store_true",
-                    help="use the EMA-teacher weights "
-                         "(inference_ema_model.py equivalent)")
+                    help="use the --use_ema ModelEma weights "
+                         "(inference_ema_model.py:91 loads 'ema_model')")
+    ap.add_argument("--teacher", action="store_true",
+                    help="use the EMA-teacher (pseudo-label) track")
     ap.add_argument("--threshold", type=float, default=0.2)
     args = ap.parse_args()
 
@@ -76,7 +78,10 @@ def main():
 
     restored = ocp.PyTreeCheckpointer().restore(args.ckpt)
     if isinstance(restored, dict) and "params" in restored:
-        params = restored["ema_teacher" if args.ema else "params"]
+        key = ("model_ema" if args.ema
+               else "ema_teacher" if args.teacher else "params")
+        # older checkpoints predate the model_ema family
+        params = restored.get(key) or restored["params"]
     else:
         params = restored
 
