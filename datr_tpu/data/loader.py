@@ -215,7 +215,8 @@ class EvalLoader:
 
     def __init__(self, dataset, batch_size: int, canvas_hw,
                  transform: EvalTransform, max_boxes: int = 100,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 num_threads: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.canvas_hw = canvas_hw
@@ -223,37 +224,56 @@ class EvalLoader:
         self.max_boxes = max_boxes
         self.indices = list(range(len(dataset)))[process_index::process_count]
         self.process_count = process_count
+        self.num_threads = max(1, num_threads)
         # equal batch counts on every process so collectives stay in step
         self.n_batches = -(-max(len(dataset), 1) // batch_size)
         self.n_batches = -(-self.n_batches // max(process_count, 1))
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _make_batch(self, b: int) -> Dict[str, np.ndarray]:
         bs = self.batch_size
-        for b in range(self.n_batches):
-            idxs = self.indices[b * bs : (b + 1) * bs]
-            n_real = len(idxs)
-            valid = np.zeros((bs,), bool)
-            valid[:n_real] = True
-            while len(idxs) < bs:
-                idxs.append(self.indices[-1] if self.indices else 0)
-            items = []
-            for idx in idxs:
-                img, tgt = self.dataset.load(idx)
-                img, tgt = self.transform(img, tgt)
-                items.append(
-                    finalize_example(img, tgt, self.canvas_hw,
-                                     self.max_boxes)
-                )
-            yield {
-                "images": _stack(items, "image"),
-                "pad_mask": _stack(items, "pad_mask"),
-                "orig_sizes": _stack(items, "orig_size").astype(np.float32),
-                "image_ids": _stack(items, "image_id"),
-                "batch_valid": valid,
-                "boxes": _stack(items, "boxes"),
-                "labels": _stack(items, "labels"),
-                "valid": _stack(items, "valid"),
-            }
+        idxs = self.indices[b * bs : (b + 1) * bs]
+        n_real = len(idxs)
+        valid = np.zeros((bs,), bool)
+        valid[:n_real] = True
+        while len(idxs) < bs:
+            idxs.append(self.indices[-1] if self.indices else 0)
+        items = []
+        for idx in idxs:
+            img, tgt = self.dataset.load(idx)
+            img, tgt = self.transform(img, tgt)
+            items.append(
+                finalize_example(img, tgt, self.canvas_hw, self.max_boxes)
+            )
+        return {
+            "images": _stack(items, "image"),
+            "pad_mask": _stack(items, "pad_mask"),
+            "orig_sizes": _stack(items, "orig_size").astype(np.float32),
+            "image_ids": _stack(items, "image_id"),
+            "batch_valid": valid,
+            "boxes": _stack(items, "boxes"),
+            "labels": _stack(items, "labels"),
+            "valid": _stack(items, "valid"),
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # threaded prefetch, in-order delivery: host decode/resize overlaps
+        # the device eval step (the reference gets this from DataLoader
+        # workers; per-epoch eval re-runs 2-3x make it matter here)
+        if self.num_threads == 1 or self.n_batches <= 1:
+            for b in range(self.n_batches):
+                yield self._make_batch(b)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            depth = self.num_threads + 1
+            futs = {b: pool.submit(self._make_batch, b)
+                    for b in range(min(depth, self.n_batches))}
+            for b in range(self.n_batches):
+                nxt = b + depth
+                if nxt < self.n_batches:
+                    futs[nxt] = pool.submit(self._make_batch, nxt)
+                yield futs.pop(b).result()
 
 
 def make_eval_loader(

@@ -30,6 +30,8 @@ def build(train: bool):
     cfg = load_config("configs/DA/Cityscapes2FoggyCityscapes/"
                       "DINO_4scale_C2F.py")
     cfg["amp_dtype"] = "bfloat16"  # match bench.py conditions
+    if os.environ.get("PROFILE_REMAT"):
+        cfg["use_remat"] = os.environ["PROFILE_REMAT"] == "1"
     model, ccfg, wd = build_model(cfg)
     B, Hc, Wc = 2, 800, 1344
     rng = jax.random.PRNGKey(0)
@@ -52,11 +54,12 @@ def build(train: bool):
 
     max_boxes = 32
     K, C = cfg.num_classes, cfg.hidden_dim
+    half = B // 2  # DA batches: targets cover the source half only
     targets = dict(
         boxes=jnp.tile(jnp.asarray([[0.5, 0.5, 0.2, 0.2]], jnp.float32),
-                       (max_boxes, 1))[None],
-        labels=jnp.zeros((1, max_boxes), jnp.int32),
-        valid=jnp.ones((1, max_boxes), bool),
+                       (half, max_boxes, 1)),
+        labels=jnp.zeros((half, max_boxes), jnp.int32),
+        valid=jnp.ones((half, max_boxes), bool),
     )
     params = jax.jit(lambda: model.init(
         rng, images, pad_mask, targets=targets, dn_rng=rng, train=True,
@@ -67,9 +70,9 @@ def build(train: bool):
     batch = dict(
         images=images, pad_mask=pad_mask,
         boxes=jnp.tile(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]),
-                       (B, max_boxes, 1)).astype(jnp.float32),
-        labels=jnp.zeros((B, max_boxes), jnp.int32),
-        valid=jnp.ones((B, max_boxes), bool),
+                       (half, max_boxes, 1)).astype(jnp.float32),
+        labels=jnp.zeros((half, max_boxes), jnp.int32),
+        valid=jnp.ones((half, max_boxes), bool),
     )
 
     def step(state, batch):
@@ -148,11 +151,19 @@ def main():
     fn, fargs = build(args.train)
     # compile + warm up (first fetch pays the tunnel warm-up)
     out = fn(*fargs)
-    _ = float(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
+    if args.train:
+        # the step donates its input state — continue from the returned one
+        fargs = (out[0],) + fargs[1:]
+        _ = float(np.asarray(out[1]["loss"]))
+    else:
+        _ = float(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
 
     with jax.profiler.trace(args.trace_dir):
         out = fn(*fargs)
-        _ = float(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
+        if args.train:
+            _ = float(np.asarray(out[1]["loss"]))
+        else:
+            _ = float(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
     summarize(args.trace_dir)
 
 
