@@ -95,6 +95,7 @@ class DINO(nn.Module):
     two_stage_share_heads: bool = False
     return_interm_indices: Tuple[int, ...] = (1, 2, 3)
     msda_impl: str = "xla"
+    msda_bh_mode: str = "auto"  # 'flat' under tensor parallelism (mesh.py)
     use_remat: bool = True
     dtype: Any = jnp.float32
 
@@ -131,7 +132,8 @@ class DINO(nn.Module):
         self.encoder = [
             enc_layer(
                 C, self.dim_feedforward, self.num_feature_levels, self.nheads,
-                self.enc_n_points, self.dropout, self.msda_impl, self.dtype,
+                self.enc_n_points, self.dropout, self.msda_impl,
+                self.msda_bh_mode, self.dtype,
                 name=f"enc_layer{i}",
             )
             for i in range(self.enc_layers)
@@ -139,7 +141,8 @@ class DINO(nn.Module):
         self.decoder = [
             dec_layer(
                 C, self.dim_feedforward, self.num_feature_levels, self.nheads,
-                self.dec_n_points, self.dropout, self.msda_impl, self.dtype,
+                self.dec_n_points, self.dropout, self.msda_impl,
+                self.msda_bh_mode, self.dtype,
                 name=f"dec_layer{i}",
             )
             for i in range(self.dec_layers)
@@ -546,6 +549,7 @@ def build_dino_from_config(cfg) -> DINO:
         two_stage_share_heads=get("two_stage_bbox_embed_share", False),
         return_interm_indices=tuple(get("return_interm_indices", [1, 2, 3])),
         msda_impl=get("msda_impl", "xla"),
+        msda_bh_mode=get("msda_bh_mode", "auto"),
         use_remat=get("use_remat", True),
         dtype=dtype,
     )

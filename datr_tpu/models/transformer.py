@@ -79,6 +79,7 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int = 4
     dropout: float = 0.0
     msda_impl: str = "xla"
+    msda_bh_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -93,7 +94,8 @@ class DeformableEncoderLayer(nn.Module):
     ):
         attn_out = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            impl=self.msda_impl, dtype=self.dtype, name="self_attn",
+            impl=self.msda_impl, bh_mode=self.msda_bh_mode,
+            dtype=self.dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, padding_mask)
         attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
@@ -109,6 +111,7 @@ class DeformableDecoderLayer(nn.Module):
     n_points: int = 4
     dropout: float = 0.0
     msda_impl: str = "xla"
+    msda_bh_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,7 +141,8 @@ class DeformableDecoderLayer(nn.Module):
         # --- deformable cross-attention ('ca') ---
         ca = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            impl=self.msda_impl, dtype=self.dtype, name="cross_attn",
+            impl=self.msda_impl, bh_mode=self.msda_bh_mode,
+            dtype=self.dtype, name="cross_attn",
         )(tgt + query_pos, reference_points, memory, spatial_shapes,
           memory_padding_mask)
         ca = nn.Dropout(self.dropout, deterministic=deterministic)(ca)

@@ -108,12 +108,13 @@ def _corner_gather_indices(
     return indices, weights
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "bh_mode"))
 def ms_deform_attn_quad(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    bh_mode: str = "auto",
 ) -> jnp.ndarray:
     """Quad-packed gather formulation — the fast TPU path for D == 32.
 
@@ -231,7 +232,13 @@ def ms_deform_attn_quad(
     )  # [4, 128]
     fold = jnp.asarray(np.tile(np.eye(D), (4, 1)), dtype=jnp.float32)
 
-    if Lq * L * P >= 65536:
+    # bh_mode: 'auto' picks per-(b,h) lax.map at encoder scale (VMEM-resident
+    # tables, fastest single-chip) and the flat batched gather at decoder
+    # scale. 'flat' forces the batched form everywhere — required under
+    # tensor parallelism: a lax.map is a sequential while-loop whose
+    # iterations SPMD cannot split across chips, while the flat gather's
+    # b*h-major rows partition cleanly over head-sharded tables.
+    if bh_mode == "auto" and Lq * L * P >= 65536:
         # encoder-scale: big per-(b,h) gathers amortize the ~0.2 ms fixed
         # gather cost and keep each step's table VMEM-resident
         def one_bh(args):
@@ -317,13 +324,15 @@ def ms_deform_attn(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     impl: str = "xla",
+    bh_mode: str = "auto",
 ) -> jnp.ndarray:
     """Dispatching entry point (reference: ops/src/ms_deform_attn.h:21-62)."""
     shapes = tuple(map(tuple, spatial_shapes))
     if impl == "xla":
         if 4 * value.shape[-1] == 128:
             return ms_deform_attn_quad(
-                value, shapes, sampling_locations, attention_weights
+                value, shapes, sampling_locations, attention_weights,
+                bh_mode=bh_mode,
             )
         return ms_deform_attn_xla(
             value, shapes, sampling_locations, attention_weights

