@@ -25,7 +25,7 @@ class ConvNeXtBlock(nn.Module):
         # depthwise 7x7
         x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
                     dtype=self.dtype, name="dwconv")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
@@ -48,12 +48,12 @@ class ConvNeXt(nn.Module):
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
                     name="stem_conv")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="stem_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
 
         outs = []
         for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if stage > 0:
-                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                  name=f"down{stage}_norm")(x)
                 x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
                             name=f"down{stage}_conv")(x)
@@ -62,7 +62,7 @@ class ConvNeXt(nn.Module):
                                   name=f"stage{stage}_block{b}")(x)
             if stage in self.return_stages:
                 outs.append(
-                    nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                    nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                  name=f"out_norm{stage}")(x)
                 )
         return tuple(outs)

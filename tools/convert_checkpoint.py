@@ -64,6 +64,97 @@ def convert_resnet(sd: Dict[str, np.ndarray], prefix="backbone.0.body."):
     return out
 
 
+def convert_swin(sd: Dict[str, np.ndarray], prefix="backbone.0."):
+    """Reference swin_transformer.py (SwinTransformer :435) -> our
+    models/swin.py SwinTransformer tree. Covers patch embed, per-block
+    norms/attn (qkv fused, relative-position-bias table)/mlp, patch-merging
+    downsamples, and the out_indices norms (norm1..norm3 -> out_norm{i});
+    the relative_position_index buffers are recomputed, not copied."""
+    out: Dict = {
+        "patch_embed": {"kernel": _t_conv(sd[prefix + "patch_embed.proj.weight"]),
+                        "bias": sd[prefix + "patch_embed.proj.bias"]},
+        "patch_norm": {"scale": sd[prefix + "patch_embed.norm.weight"],
+                       "bias": sd[prefix + "patch_embed.norm.bias"]},
+    }
+    stage = 0
+    while f"{prefix}layers.{stage}.blocks.0.norm1.weight" in sd:
+        b = 0
+        while f"{prefix}layers.{stage}.blocks.{b}.norm1.weight" in sd:
+            src = f"{prefix}layers.{stage}.blocks.{b}"
+            out[f"stage{stage}_block{b}"] = {
+                "norm1": convert_ln(sd, f"{src}.norm1"),
+                "norm2": convert_ln(sd, f"{src}.norm2"),
+                "attn": {
+                    "qkv": {"kernel": _t_lin(sd[f"{src}.attn.qkv.weight"]),
+                            "bias": sd[f"{src}.attn.qkv.bias"]},
+                    "proj": {"kernel": _t_lin(sd[f"{src}.attn.proj.weight"]),
+                             "bias": sd[f"{src}.attn.proj.bias"]},
+                    "relative_position_bias_table":
+                        sd[f"{src}.attn.relative_position_bias_table"],
+                },
+                "mlp_fc1": {"kernel": _t_lin(sd[f"{src}.mlp.fc1.weight"]),
+                            "bias": sd[f"{src}.mlp.fc1.bias"]},
+                "mlp_fc2": {"kernel": _t_lin(sd[f"{src}.mlp.fc2.weight"]),
+                            "bias": sd[f"{src}.mlp.fc2.bias"]},
+            }
+            b += 1
+        if f"{prefix}layers.{stage}.downsample.reduction.weight" in sd:
+            out[f"merge{stage}"] = {
+                "norm": convert_ln(sd, f"{prefix}layers.{stage}.downsample.norm"),
+                "reduction": {"kernel": _t_lin(
+                    sd[f"{prefix}layers.{stage}.downsample.reduction.weight"])},
+            }
+        stage += 1
+    for i in range(4):
+        if f"{prefix}norm{i}.weight" in sd:
+            out[f"out_norm{i}"] = convert_ln(sd, f"{prefix}norm{i}")
+    return out
+
+
+def convert_convnext(sd: Dict[str, np.ndarray], prefix="backbone.0.",
+                     out_indices=(1, 2, 3)):
+    """Reference models/dino/convnext.py -> our models/convnext.py tree:
+    stem conv+LN (downsample_layers.0), LN+conv downsamples, per-block
+    dwconv/norm/pwconv1/pwconv2/gamma, out norms norm{i} -> out_norm{i}."""
+    out: Dict = {
+        "stem_conv": {"kernel": _t_conv(sd[prefix + "downsample_layers.0.0.weight"]),
+                      "bias": sd[prefix + "downsample_layers.0.0.bias"]},
+        "stem_norm": {"scale": sd[prefix + "downsample_layers.0.1.weight"],
+                      "bias": sd[prefix + "downsample_layers.0.1.bias"]},
+    }
+    stage = 0
+    while f"{prefix}stages.{stage}.0.dwconv.weight" in sd:
+        if stage > 0:
+            out[f"down{stage}_norm"] = {
+                "scale": sd[f"{prefix}downsample_layers.{stage}.0.weight"],
+                "bias": sd[f"{prefix}downsample_layers.{stage}.0.bias"]}
+            out[f"down{stage}_conv"] = {
+                "kernel": _t_conv(sd[f"{prefix}downsample_layers.{stage}.1.weight"]),
+                "bias": sd[f"{prefix}downsample_layers.{stage}.1.bias"]}
+        b = 0
+        while f"{prefix}stages.{stage}.{b}.dwconv.weight" in sd:
+            src = f"{prefix}stages.{stage}.{b}"
+            # torch depthwise conv weight [C,1,7,7] -> HWIO [7,7,1,C]
+            out[f"stage{stage}_block{b}"] = {
+                "dwconv": {"kernel": _t_conv(sd[f"{src}.dwconv.weight"]),
+                           "bias": sd[f"{src}.dwconv.bias"]},
+                "norm": convert_ln(sd, f"{src}.norm"),
+                "pwconv1": {"kernel": _t_lin(sd[f"{src}.pwconv1.weight"]),
+                            "bias": sd[f"{src}.pwconv1.bias"]},
+                "pwconv2": {"kernel": _t_lin(sd[f"{src}.pwconv2.weight"]),
+                            "bias": sd[f"{src}.pwconv2.bias"]},
+                "gamma": sd[f"{src}.gamma"],
+            }
+            b += 1
+        stage += 1
+    # the reference registers norm{i} for every stage regardless of
+    # out_indices (convnext.py:103-107); only the returned stages exist here
+    for i in out_indices:
+        if f"{prefix}norm{i}.weight" in sd:
+            out[f"out_norm{i}"] = convert_ln(sd, f"{prefix}norm{i}")
+    return out
+
+
 def convert_msda(sd, src, has_heads=8):
     return {
         "sampling_offsets": {
@@ -124,7 +215,12 @@ def convert_checkpoint(sd: Dict[str, np.ndarray], enc_layers=6, dec_layers=6,
                        n_heads=8, d_model=256) -> Dict:
     """Full state_dict -> {'params': tree} matching datr_tpu DINO."""
     p: Dict = {}
-    p["backbone"] = convert_resnet(sd)
+    if "backbone.0.patch_embed.proj.weight" in sd:
+        p["backbone"] = convert_swin(sd)
+    elif "backbone.0.downsample_layers.0.0.weight" in sd:
+        p["backbone"] = convert_convnext(sd)
+    else:
+        p["backbone"] = convert_resnet(sd)
 
     # input projections (dino.py:111-133: Sequential(conv, GroupNorm))
     i = 0
