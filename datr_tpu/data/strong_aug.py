@@ -222,3 +222,41 @@ def iou_random_crop(img: Image.Image, boxes_xyxy: np.ndarray,
             np.asarray(labels)[keep],
         )
     return img, b, labels
+
+
+class Albumentations:
+    """Optional albumentations hook (sltransform.py:216-246): the reference
+    composes Blur/MedianBlur/ToGray/CLAHE/RandomBrightnessContrast/
+    RandomGamma/ImageCompression at low probabilities with pascal_voc bbox
+    passthrough. The library is optional — construction raises ImportError
+    when absent (same behavior as the reference's inline `import
+    albumentations`); callers gate on availability."""
+
+    def __init__(self):
+        import albumentations as A  # optional dependency
+
+        self.transform = A.Compose(
+            [
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+                A.RandomBrightnessContrast(p=0.005),
+                A.RandomGamma(p=0.005),
+                A.ImageCompression(quality_lower=75, p=0.005),
+            ],
+            bbox_params=A.BboxParams(format="pascal_voc",
+                                     label_fields=["class_labels"]),
+        )
+
+    def __call__(self, img: Image.Image, boxes_xyxy, labels,
+                 rng: random.Random, p: float = 1.0):
+        if rng.random() >= p:
+            return img, boxes_xyxy, labels
+        res = self.transform(image=np.array(img), bboxes=boxes_xyxy,
+                             class_labels=labels)
+        return (
+            Image.fromarray(res["image"]),
+            np.asarray(res["bboxes"], np.float32).reshape(-1, 4),
+            np.asarray(res["class_labels"]),
+        )
