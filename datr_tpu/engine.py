@@ -30,6 +30,20 @@ from .utils.logger import MetricLogger
 from .eval.coco_eval import CocoEvaluator
 
 
+def _scalar_metrics(metrics):
+    """Fetch every scalar step metric for the MetricLogger (the reference
+    logs all weighted loss terms + class_error + grad_total_norm,
+    engine.py:122-129)."""
+    out = {}
+    for k, v in metrics.items():
+        try:
+            if getattr(v, "ndim", 0) == 0:
+                out[k] = float(v)
+        except Exception:
+            pass
+    return out
+
+
 def train_one_epoch(
     state, model, tx, loader: Iterable, ccfg: CriterionCfg,
     weight_dict: Dict[str, float], epoch: int, logger=None,
@@ -47,8 +61,7 @@ def train_one_epoch(
         if not math.isfinite(loss):
             print(f"Loss is {loss}, stopping training", file=sys.stderr)
             sys.exit(1)
-        ml.update(loss=loss,
-                  class_error=float(metrics.get("class_error", 0.0)))
+        ml.update(**_scalar_metrics(metrics))
     return state, {k: m.global_avg for k, m in ml.meters.items()}
 
 
@@ -70,8 +83,7 @@ def train_one_epoch_plain(
         if not math.isfinite(loss):
             print(f"Loss is {loss}, stopping training", file=sys.stderr)
             sys.exit(1)
-        ml.update(loss=loss,
-                  class_error=float(metrics.get("class_error", 0.0)))
+        ml.update(**_scalar_metrics(metrics))
     return state, {k: m.global_avg for k, m in ml.meters.items()}
 
 
@@ -93,7 +105,7 @@ def train_one_epoch_self_training(
         if not math.isfinite(loss):
             print(f"Loss is {loss}, stopping training", file=sys.stderr)
             sys.exit(1)
-        ml.update(loss=loss, num_pseudo=float(metrics["num_pseudo"]))
+        ml.update(**_scalar_metrics(metrics))
     return state, {k: m.global_avg for k, m in ml.meters.items()}
 
 

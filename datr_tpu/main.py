@@ -285,7 +285,7 @@ def main(args):
         state = update_emas_per_epoch(state, epoch, cfg)
 
         save_checkpoint(os.path.join(args.output_dir, "checkpoint"),
-                        jax.device_get(state), epoch)
+                        jax.device_get(state), epoch, use_async=True)
         if cfg.get("save_checkpoint_interval", 1) and (
             (epoch + 1) % cfg.save_checkpoint_interval == 0
         ):

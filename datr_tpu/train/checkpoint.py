@@ -28,18 +28,46 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+_async_ckptr = None
+
+
+def _get_async_ckptr():
+    """Singleton orbax AsyncCheckpointer: the host->disk write happens on a
+    background thread so the train loop keeps stepping (the reference's
+    torch.save blocks; async saves are the TPU-scale norm). Flushed before
+    re-saving the same path and at interpreter exit."""
+    global _async_ckptr
+    if _async_ckptr is None:
+        import atexit
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        atexit.register(_async_ckptr.wait_until_finished)
+    return _async_ckptr
+
+
+def wait_for_async_saves():
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(path: str, state: Any, epoch: int,
-                    extra: Optional[dict] = None):
+                    extra: Optional[dict] = None, use_async: bool = False):
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     state = jax.device_get(state)
-    _ckptr().save(path, state, force=True)
+    if use_async:
+        ck = _get_async_ckptr()
+        ck.wait_until_finished()  # serialize saves to the same path
+        ck.save(path, state, force=True)
+    else:
+        _ckptr().save(path, state, force=True)
     meta = {"epoch": epoch, **(extra or {})}
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f)
 
 
 def load_checkpoint(path: str, target: Any):
+    wait_for_async_saves()
     path = os.path.abspath(path)
     state = _ckptr().restore(path, item=jax.device_get(target))
     meta = {}

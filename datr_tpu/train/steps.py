@@ -19,6 +19,7 @@ import functools
 from typing import Any, Dict
 
 import jax
+import optax
 import jax.numpy as jnp
 
 from .criterion import CriterionCfg, criterion, weighted_total
@@ -63,7 +64,9 @@ def train_step_burnin(
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
-    metrics = {"loss": total, **losses}
+    # pre-clip global grad norm (reference engine.py:93 logs grad_total_norm)
+    metrics = {"loss": total, **losses,
+               "grad_norm": optax.global_norm(grads)}
     new_state = state.replace(
         params=new_params, opt_state=new_opt, rng=rng,
         global_proto=new_proto, amount=new_amount, step=state.step + 1,
@@ -118,7 +121,8 @@ def train_step_plain(
         new_state = new_state.replace(
             model_ema=ema_update(state.model_ema, new_params, ema_decay)
         )
-    return new_state, {"loss": total, **losses}
+    return new_state, {"loss": total, **losses,
+                       "grad_norm": optax.global_norm(grads)}
 
 
 @functools.partial(
@@ -183,7 +187,8 @@ def train_step_self_training(
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
-    metrics = {"loss": total, "num_pseudo": p_valid.sum()}
+    metrics = {"loss": total, "num_pseudo": p_valid.sum(),
+               "grad_norm": optax.global_norm(grads)}
     metrics.update(src_l)
     metrics.update({f"{k}_target": v for k, v in tgt_l.items()})
     new_state = state.replace(
