@@ -312,6 +312,7 @@ def main(args):
                         jax.device_get(state.model_ema), epoch)
         log_line = {
             "epoch": epoch,
+            "lr": float(make_optimizer.last_schedule(int(state.step))),
             **{f"train_{k}": v for k, v in train_stats.items()},
             "ap50_student": stats["ap50"],
             "ap50_teacher": t_stats["ap50"],

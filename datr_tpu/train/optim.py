@@ -55,6 +55,11 @@ def make_optimizer(
     lr_drop_steps: list | None = None,  # for 'multistep' (lr_drop_list)
     total_steps: int | None = None,  # for 'onecycle' (main.py onecyclelr)
 ) -> optax.GradientTransformation:
+    """Param-group optimizer (reference util/get_param_dicts.py 'default'
+    groups + main.py schedules). `make_optimizer.last_schedule` exposes the
+    main-group lr schedule so the driver can log lr(step) like the
+    reference's metric_logger lr meter (engine.py:43,122)."""
+
     def make_schedule(learning_rate):
         if schedule_type == "onecycle" and total_steps:
             return optax.cosine_onecycle_schedule(
@@ -74,6 +79,10 @@ def make_optimizer(
         return optax.adamw(make_schedule(learning_rate),
                            weight_decay=weight_decay)
 
+    sched = make_schedule(lr)
+    make_optimizer.last_schedule = (
+        sched if callable(sched) else (lambda step: lr)
+    )
     tx = optax.multi_transform(
         {
             "main": adamw(lr),
