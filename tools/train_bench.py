@@ -60,6 +60,12 @@ def main():
     tx = make_optimizer(params, lr=cfg.lr, lr_backbone=cfg.lr_backbone)
     state = create_train_state(params, tx, K, C, rng)
     batch = dict(images=images, pad_mask=pad_mask, **targets)
+    if args.self_training:
+        # self-training batches carry strong-aug images + real sizes
+        batch["images_strong"] = images
+        batch["real_sizes"] = jnp.tile(
+            jnp.asarray([[float(Hc), float(Wc)]], jnp.float32), (B, 1)
+        )
 
     if args.self_training:
         thr = jnp.full((K,), 0.3)
