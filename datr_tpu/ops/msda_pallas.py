@@ -17,6 +17,13 @@ Status / design notes (probed on v5e, jax 0.9 Mosaic):
 - backward reuses the XLA path's autodiff (gather transpose = scatter-add,
   the TPU analogue of the CUDA col2im atomics at ms_deform_im2col_cuda.cuh
   :302-922).
+- Round-2 measurement (ROADMAP.md "MSDA ceiling analysis"): a production
+  fused kernel CANNOT beat the XLA gather on this toolchain — Mosaic
+  rejects dynamic single-sublane row loads ("index in dimension 0 must be
+  a multiple of 8"), so the only legal in-kernel gather is the scalar loop
+  below, whose issue rate is at best comparable to XLA's 0.42 Grows/s.
+  This module is kept as the dispatchable prototype to revisit when the
+  toolchain exposes vectorized gathers (tpu.dynamic_gather).
 
 grid: (B * H,) — one program per (batch, head); value block [S, D] is
 VMEM-resident for the program's lifetime.
