@@ -63,8 +63,9 @@ def main():
     if args.self_training:
         # self-training batches carry strong-aug images + real sizes
         batch["images_strong"] = images
+        # one row per TARGET-half image (loader contract)
         batch["real_sizes"] = jnp.tile(
-            jnp.asarray([[float(Hc), float(Wc)]], jnp.float32), (B, 1)
+            jnp.asarray([[float(Hc), float(Wc)]], jnp.float32), (B // 2, 1)
         )
 
     if args.self_training:
