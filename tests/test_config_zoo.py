@@ -65,3 +65,21 @@ def test_5scale_has_extra_level_and_stage0():
     model, _, _ = build_model(cfg)
     assert model.num_feature_levels == 5
     assert tuple(model.return_interm_indices) == (0, 1, 2, 3)
+
+
+def test_5scale_tiny_forward_runs():
+    """Concrete 5-scale forward (stage-0 features + 5 projections) — not
+    just a shape trace."""
+    from datr_tpu.models.dino import DINO
+
+    model = DINO(num_classes=4, num_queries=8, hidden_dim=32, nheads=2,
+                 enc_layers=1, dec_layers=1, dim_feedforward=64,
+                 dn_number=0, dn_labelbook_size=4, use_remat=False,
+                 num_feature_levels=5, return_interm_indices=(0, 1, 2, 3))
+    x = jnp.zeros((1, 64, 96, 3))
+    m = jnp.zeros((1, 64, 96), bool)
+    params = model.init(jax.random.PRNGKey(0), x, m, train=False)
+    out = model.apply(params, x, m, train=False)
+    assert out["pred_logits"].shape == (1, 8, 4)
+    assert out["pred_boxes"].shape == (1, 8, 4)
+    assert bool(jnp.isfinite(out["pred_logits"]).all())
