@@ -26,7 +26,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..utils.misc import inverse_sigmoid, sine_embed_for_position

@@ -19,7 +19,7 @@ Also provides focal/L1/GIoU cost construction matching matcher.py:77-90.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

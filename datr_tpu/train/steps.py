@@ -16,7 +16,7 @@ Batches are dicts of fixed-shape arrays:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import optax
