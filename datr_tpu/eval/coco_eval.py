@@ -79,21 +79,17 @@ def _greedy_match(ious, g_ignore, crowd):
     if D == 0 or G == 0:
         return dt_m, gt_m
     thr = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]  # [T, 1]
-    nonig = ~g_ignore[None, :]  # [1, G]
+    # non-ignored gts are preferred over ignored ones regardless of IoU;
+    # since IoU <= 1, a +2 bonus folds that two-tier preference into one
+    # argmax (reversed for pycocotools' ties-to-LATER-index behavior)
+    bonus = np.where(g_ignore, 0.0, 2.0)[None, :]  # [1, G]
+    crowd_row = crowd[None, :]
     for di in range(D):
         iou_d = ious[di][None, :]  # [1, G]
-        avail = (gt_m < 0) | crowd[None, :]  # [T, G]
-        ok = avail & (iou_d >= thr)
-        cand1 = ok & nonig
-        cand2 = ok & ~nonig
-        m1 = np.where(cand1, iou_d, -np.inf)
-        m2 = np.where(cand2, iou_d, -np.inf)
-        pick1 = G - 1 - np.argmax(m1[:, ::-1], axis=1)
-        pick2 = G - 1 - np.argmax(m2[:, ::-1], axis=1)
-        has1 = cand1.any(axis=1)
-        has2 = cand2.any(axis=1)
-        pick = np.where(has1, pick1, np.where(has2, pick2, -1))
-        tsel = np.nonzero(pick >= 0)[0]
+        ok = ((gt_m < 0) | crowd_row) & (iou_d >= thr)
+        m = np.where(ok, iou_d + bonus, -np.inf)
+        pick = G - 1 - np.argmax(m[:, ::-1], axis=1)
+        tsel = np.nonzero(ok.any(axis=1))[0]
         dt_m[tsel, di] = pick[tsel]
         gt_m[tsel, pick[tsel]] = di
     return dt_m, gt_m
@@ -146,9 +142,11 @@ class CocoEvaluator:
         self._dt.update(other._dt)
 
     # -- evaluation -------------------------------------------------------
-    def _evaluate_img(self, img_id, cat, area_rng, max_det):
-        """One (image, category, area) matching pass at maxDet=max_det
-        (pycocotools COCOeval.evaluateImg)."""
+    def _prep_img(self, img_id, cat, max_det):
+        """Area-independent per-(image, category) state: score-sorted dets,
+        GT arrays, and the IoU matrix — computed ONCE and reused by all 4
+        area ranges (the IoUs don't depend on the range; pycocotools also
+        computes computeIoU once per (img, cat))."""
         gt = self._gt[img_id]
         dt = self._dt[img_id]
         gm = gt["labels"] == cat
@@ -158,26 +156,35 @@ class CocoEvaluator:
         ga = gt["areas"][gm]
         d = dt["boxes"][dm]
         ds = dt["scores"][dm]
-
         order = np.argsort(-ds, kind="mergesort")[:max_det]
         d = d[order]
         ds = ds[order]
-
-        g_ignore = crowd | (ga < area_rng[0]) | (ga > area_rng[1])
-        # sort gt: non-ignored first (pycocotools convention)
-        g_order = np.argsort(g_ignore, kind="mergesort")
-        g = g[g_order]
-        g_ignore = g_ignore[g_order]
-        crowd = crowd[g_order]
-
-        ious = _iou_xyxy(d, g, crowd)
-        dt_m, gt_m = _greedy_match(ious, g_ignore, crowd)
-
-        T, D = dt_m.shape
         da = np.clip(d[:, 2] - d[:, 0], 0, None) * np.clip(
             d[:, 3] - d[:, 1], 0, None
         )
-        d_out_of_range = (da < area_rng[0]) | (da > area_rng[1])
+        return {
+            "g": g, "crowd": crowd, "ga": ga, "ds": ds, "da": da,
+            "ious": _iou_xyxy(d, g, crowd),
+        }
+
+    def _evaluate_img(self, prep, area_rng):
+        """One area-range matching pass over a _prep_img state
+        (pycocotools COCOeval.evaluateImg)."""
+        crowd = prep["crowd"]
+        ga = prep["ga"]
+        g_ignore = crowd | (ga < area_rng[0]) | (ga > area_rng[1])
+        # sort gt: non-ignored first (pycocotools convention)
+        g_order = np.argsort(g_ignore, kind="mergesort")
+        g_ignore = g_ignore[g_order]
+        crowd = crowd[g_order]
+        ious = prep["ious"][:, g_order]
+
+        dt_m, gt_m = _greedy_match(ious, g_ignore, crowd)
+
+        T, D = dt_m.shape
+        d_out_of_range = (prep["da"] < area_rng[0]) | (
+            prep["da"] > area_rng[1]
+        )
         matched = dt_m >= 0
         dt_ignore = np.zeros((T, D), bool)
         for t in range(T):
@@ -186,7 +193,7 @@ class CocoEvaluator:
             ig[m] = g_ignore[dt_m[t][m]]
             dt_ignore[t] = ig | ((~m) & d_out_of_range)
         return {
-            "scores": ds,
+            "scores": prep["ds"],
             "dt_matched": matched,
             "dt_ignore": dt_ignore,
             "n_gt": int((~g_ignore).sum()),
@@ -201,15 +208,13 @@ class CocoEvaluator:
         top_det = MAX_DETS[-1]
 
         for ki, cat in enumerate(self.categories):
+            preps = [self._prep_img(i, cat, top_det) for i in img_ids]
             for ai, area_rng in enumerate(AREA_RANGES.values()):
                 # one matching pass at maxDet=100; smaller maxDets are
                 # prefix slices (pycocotools accumulate :0maxDet slicing —
                 # valid because greedy matching of det i depends only on
                 # dets before it)
-                evs = [
-                    self._evaluate_img(i, cat, area_rng, top_det)
-                    for i in img_ids
-                ]
+                evs = [self._evaluate_img(p, area_rng) for p in preps]
                 n_gt = sum(e["n_gt"] for e in evs)
                 if n_gt == 0:
                     continue
