@@ -113,14 +113,17 @@ class DAPairedDataset:
     def __len__(self):
         return max(len(self.source), len(self.target))
 
-    def load(self, i: int, rng: random.Random):
+    def load(self, i: int, rng: random.Random, strong: bool = True):
         s_img, s_tgt = self.source.load(i % len(self.source))
         t_img, t_tgt = self.target.load(i % len(self.target))
         # strong view: photometric only, target-domain (and source twin kept
         # identical — the reference also strong-augments the source twin in
-        # make_coco_strong_transforms pipelines; the student consumes both)
-        s_strong = strong_augment(s_img, rng) if self.strong_aug else s_img
-        t_strong = strong_augment(t_img, rng) if self.strong_aug else t_img
+        # make_coco_strong_transforms pipelines; the student consumes both).
+        # `strong=False` skips the work for burn-in epochs, which never
+        # consume the strong views (engine.train_one_epoch drops them).
+        do_strong = self.strong_aug and strong
+        s_strong = strong_augment(s_img, rng) if do_strong else s_img
+        t_strong = strong_augment(t_img, rng) if do_strong else t_img
         return s_img, s_strong, s_tgt, t_img, t_strong, t_tgt
 
 
@@ -128,6 +131,31 @@ class DAPairedDataset:
 # dataset registry — mirrors datasets/__init__.py:21-45 dispatch and the
 # per-direction builders (paths are configured, not hardcoded-blank).
 # -----------------------------------------------------------------------
+def build_coco_classic(image_set: str, root: str):
+    """Classic COCO-2017 directory layout (reference datasets/coco.py:611-641
+    PATHS): <root>/{train2017,val2017} + annotations/instances_*.json."""
+    split = "train2017" if image_set == "train" else "val2017"
+    return CocoDetectionDataset(
+        os.path.join(root, split),
+        os.path.join(root, "annotations", f"instances_{split}.json"),
+    )
+
+
+def build_coco_panoptic(image_set: str, root: str):
+    """COCO-panoptic layout (reference datasets/coco_panoptic.py:81-104):
+    <root>/{train2017,val2017} + <root>/panoptic/{panoptic_<split>/,
+    annotations/panoptic_<split>.json}."""
+    from .panoptic import CocoPanopticDataset
+
+    split = "train2017" if image_set == "train" else "val2017"
+    pan = os.path.join(root, "panoptic")
+    return CocoPanopticDataset(
+        os.path.join(root, split),
+        os.path.join(pan, f"panoptic_{split}"),
+        os.path.join(pan, "annotations", f"panoptic_{split}.json"),
+    )
+
+
 def build_dataset(
     image_set: str,
     dataset_file: str,
@@ -136,12 +164,28 @@ def build_dataset(
 ):
     """image_set: 'train' (paired DA) or 'val' (target-domain eval).
 
-    Expected layout under data_root (documented equivalents of the
-    reference's hardcoded PATHS dicts, DAcoco.py:672-880):
-      <direction>/source/{images,annotations.json}
-      <direction>/target/{images,annotations.json}
-      <direction>/val/{images,annotations.json}
+    Named-dataset dispatch mirroring datasets/__init__.py:21-45 — the
+    reference hardcodes machine-specific PATHS per name (DAcoco.py:672-880,
+    coco.py:643-731); here every name maps onto a documented layout under
+    data_root:
+
+      'coco'          classic COCO-2017 tree (build_coco_classic)
+      'coco_panoptic' panoptic tree (build_coco_panoptic)
+      any other name  <data_root>/<name>/ with either
+                        source/{images,annotations.json}     (paired DA;
+                        target/{images,annotations.json}      covers
+                        val/{images,annotations.json}         city2foggy,
+                                                              sim2city,
+                                                              city2bdd100k,
+                                                              xview2dota)
+                      or train/{images,annotations.json} (+ val/) for
+                      single-domain training (reference 'city' path).
     """
+    if dataset_file == "coco":
+        return build_coco_classic(image_set, os.path.join(data_root, "coco"))
+    if dataset_file == "coco_panoptic":
+        return build_coco_panoptic(image_set,
+                                   os.path.join(data_root, "coco"))
     d = os.path.join(data_root, dataset_file)
     single_domain = (
         not os.path.isdir(os.path.join(d, "source"))

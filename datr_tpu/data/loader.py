@@ -35,6 +35,7 @@ def make_da_loader(
     epoch: int = 0,
     process_index: int = 0,
     process_count: int = 1,
+    compute_strong: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches:
       images        [2b, H, W, 3] — first b source (weak), then b target (weak)
@@ -42,6 +43,10 @@ def make_da_loader(
       pad_mask      [2b, H, W]
       boxes/labels/valid  [b, max_boxes, ...]  (source GT)
       real_sizes    [b, 2] — target-half unpadded (h, w), for pseudo labels
+
+    compute_strong=False (burn-in epochs, which drop the strong views)
+    skips the photometric aug + extra finalize work and aliases
+    images_strong to the weak batch.
     """
     n = len(dataset)
     order = list(range(n))
@@ -51,25 +56,34 @@ def make_da_loader(
 
     def load_one(idx, seed_i):
         r = random.Random(seed_i)
-        s_img, s_strong, s_tgt, t_img, t_strong, t_tgt = dataset.load(idx, r)
+        s_img, s_strong, s_tgt, t_img, t_strong, t_tgt = dataset.load(
+            idx, r, strong=compute_strong
+        )
+        if not compute_strong:
+            s_strong = t_strong = None  # skip strong-view geometry too
         s_img, s_strong, s_tgt = transform(s_img, s_strong, s_tgt, r)
         # the same transform instance re-rolls geometry for the target pair
         t_img, t_strong, t_tgt = transform(t_img, t_strong, t_tgt, r)
         s = finalize_example(s_img, s_tgt, canvas_hw, max_boxes)
-        ss = finalize_example(s_strong, None, canvas_hw, max_boxes)
         t = finalize_example(t_img, t_tgt, canvas_hw, max_boxes)
+        if not compute_strong:
+            return s, s, t, t
+        ss = finalize_example(s_strong, None, canvas_hw, max_boxes)
         ts = finalize_example(t_strong, None, canvas_hw, max_boxes)
         return s, ss, t, ts
 
     def assemble(items):
         s, ss, t, ts = zip(*items)
-        return {
-            "images": np.concatenate(
-                [_stack(s, "image"), _stack(t, "image")]
-            ),
-            "images_strong": np.concatenate(
+        images = np.concatenate([_stack(s, "image"), _stack(t, "image")])
+        if compute_strong:
+            images_strong = np.concatenate(
                 [_stack(ss, "image"), _stack(ts, "image")]
-            ),
+            )
+        else:
+            images_strong = images  # alias: burn-in steps drop this key
+        return {
+            "images": images,
+            "images_strong": images_strong,
             "pad_mask": np.concatenate(
                 [_stack(s, "pad_mask"), _stack(t, "pad_mask")]
             ),

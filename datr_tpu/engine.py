@@ -31,7 +31,7 @@ from .eval.coco_eval import CocoEvaluator
 
 
 def _scalar_metrics(metrics):
-    """Fetch every scalar step metric for the MetricLogger (the reference
+    """Host-side scalar step metrics for the MetricLogger (the reference
     logs all weighted loss terms + class_error + grad_total_norm,
     engine.py:122-129)."""
     out = {}
@@ -44,25 +44,56 @@ def _scalar_metrics(metrics):
     return out
 
 
+def _drain_metrics(pending, ml):
+    """Fetch a window of on-device metric dicts in ONE host transfer and
+    abort on a non-finite loss (reference engine.py:81-84).
+
+    Fetching per step would serialize dispatch through this environment's
+    high-latency relay (every device->host fetch is a round trip); batching
+    the fetch every print_freq steps keeps the device pipeline full while
+    preserving the NaN abort within a window."""
+    if not pending:
+        return
+    for m in jax.device_get(pending):
+        loss = float(m["loss"])
+        if not math.isfinite(loss):
+            print(f"Loss is {loss}, stopping training", file=sys.stderr)
+            sys.exit(1)
+        ml.update(**_scalar_metrics(m))
+    pending.clear()
+
+
+def _run_epoch(step_fn, state, loader, ml, header, print_freq):
+    """Shared epoch driver: async dispatch + windowed metric drain."""
+    pending = []
+    done = 0
+    for batch in ml.log_every(loader, print_freq, header):
+        state, metrics = step_fn(state, batch)
+        pending.append(metrics)
+        done += 1
+        # drain so the i % print_freq == 0 log line (printed after this
+        # body returns) shows fresh meters
+        if (done - 1) % print_freq == 0:
+            _drain_metrics(pending, ml)
+    _drain_metrics(pending, ml)
+    return state, {k: m.global_avg for k, m in ml.meters.items()}
+
+
 def train_one_epoch(
     state, model, tx, loader: Iterable, ccfg: CriterionCfg,
     weight_dict: Dict[str, float], epoch: int, logger=None,
     print_freq: int = 10, ema_decay: float = 0.0,
 ):
     ml = MetricLogger(logger=logger)
-    for batch in ml.log_every(loader, print_freq, f"Epoch: [{epoch}]"):
+
+    def step(state, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("images_strong", "real_sizes")}
-        state, metrics = train_step_burnin(
-            state, batch, model, tx, ccfg, weight_dict,
-            ema_decay=ema_decay,
-        )
-        loss = float(metrics["loss"])
-        if not math.isfinite(loss):
-            print(f"Loss is {loss}, stopping training", file=sys.stderr)
-            sys.exit(1)
-        ml.update(**_scalar_metrics(metrics))
-    return state, {k: m.global_avg for k, m in ml.meters.items()}
+        return train_step_burnin(state, batch, model, tx, ccfg, weight_dict,
+                                 ema_decay=ema_decay)
+
+    return _run_epoch(step, state, loader, ml, f"Epoch: [{epoch}]",
+                      print_freq)
 
 
 def train_one_epoch_plain(
@@ -73,18 +104,14 @@ def train_one_epoch_plain(
     """Single-domain supervised epoch (plain-DINO pretraining; reference
     single-domain dataset path, datasets/coco.py:611-640)."""
     ml = MetricLogger(logger=logger)
-    for batch in ml.log_every(loader, print_freq, f"Epoch: [{epoch}]"):
+
+    def step(state, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        state, metrics = train_step_plain(
-            state, batch, model, tx, ccfg, weight_dict,
-            ema_decay=ema_decay,
-        )
-        loss = float(metrics["loss"])
-        if not math.isfinite(loss):
-            print(f"Loss is {loss}, stopping training", file=sys.stderr)
-            sys.exit(1)
-        ml.update(**_scalar_metrics(metrics))
-    return state, {k: m.global_avg for k, m in ml.meters.items()}
+        return train_step_plain(state, batch, model, tx, ccfg, weight_dict,
+                                ema_decay=ema_decay)
+
+    return _run_epoch(step, state, loader, ml, f"Epoch: [{epoch}]",
+                      print_freq)
 
 
 def train_one_epoch_self_training(
@@ -94,19 +121,16 @@ def train_one_epoch_self_training(
 ):
     ml = MetricLogger(logger=logger)
     thr = jnp.asarray(class_thresholds)
-    for batch in ml.log_every(loader, print_freq,
-                              f"SelfTrain Epoch: [{epoch}]"):
+
+    def step(state, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        state, metrics = train_step_self_training(
+        return train_step_self_training(
             state, batch, model, tx, ccfg, weight_dict, thr,
             canvas_hw=tuple(canvas_hw), ema_decay=ema_decay,
         )
-        loss = float(metrics["loss"])
-        if not math.isfinite(loss):
-            print(f"Loss is {loss}, stopping training", file=sys.stderr)
-            sys.exit(1)
-        ml.update(**_scalar_metrics(metrics))
-    return state, {k: m.global_avg for k, m in ml.meters.items()}
+
+    return _run_epoch(step, state, loader, ml,
+                      f"SelfTrain Epoch: [{epoch}]", print_freq)
 
 
 def update_emas_per_epoch(state, epoch: int, cfg):
@@ -132,11 +156,13 @@ def evaluate(
     params, model, loader: Iterable, categories,
     num_select: int = 300, logger=None, print_freq: int = 50,
     save_results_path: Optional[str] = None,
+    nms_iou_threshold: float = -1.0,
 ) -> Dict:
     """Run detection eval, return the 12 COCO stats
     (engine.py:349-513 -> stats['coco_eval_bbox']). With save_results_path,
     raw per-image gt/pred arrays are dumped for offline diffing (equivalent
-    of --save_results, engine.py:433-492)."""
+    of --save_results, engine.py:433-492). nms_iou_threshold > 0 applies the
+    reference's optional class-aware eval NMS (dino.py:989-992,1136)."""
     evaluator = CocoEvaluator(categories)
     dumped = [] if save_results_path else None
     ml = MetricLogger(logger=logger)
@@ -145,16 +171,35 @@ def evaluate(
     # original COCO API GT (datasets/coco_eval.py:22-56)
     dataset = getattr(loader, "dataset", None)
     raw_gt = getattr(dataset, "eval_annotations", None)
-    det_records = []  # per-image fixed-shape det arrays (for multi-host)
+    det_records = []  # per-image records (for the multi-host merge)
+    max_boxes = None
     for batch in ml.log_every(loader, print_freq, "Test:"):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("images", "pad_mask", "orig_sizes")}
-        res = eval_step(params, arrays, model, num_select=num_select)
+        res = eval_step(params, arrays, model, num_select=num_select,
+                        nms_iou_threshold=float(nms_iou_threshold))
         res = jax.device_get(res)
+        max_boxes = batch["boxes"].shape[1]
         for i in range(len(batch["image_ids"])):
             if not batch["batch_valid"][i]:
                 continue
             oh, ow = batch["orig_sizes"][i]
+            db = np.asarray(res["boxes"][i])
+            ds = np.asarray(res["scores"][i])
+            dl = np.asarray(res["labels"][i])
+            if "valid" in res:  # NMS path: keep surviving detections only
+                dv = np.asarray(res["valid"][i], bool)
+                db, ds, dl = db[dv], ds[dv], dl[dv]
+            # GT back to absolute xyxy in orig coords (used directly when
+            # the dataset has no raw annotations, and as the multi-host
+            # payload so the merge also works without raw_gt)
+            gb = np.asarray(batch["boxes"][i], np.float64)
+            gv = np.asarray(batch["valid"][i], bool)
+            gl = np.asarray(batch["labels"][i])
+            cx, cy, w_, h_ = gb[:, 0], gb[:, 1], gb[:, 2], gb[:, 3]
+            gt_xyxy = np.stack(
+                [cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2], 1
+            ) * np.array([ow, oh, ow, oh])
             if raw_gt is not None:
                 ann = raw_gt(int(batch["image_ids"][i]))
                 gt_kw = dict(
@@ -162,35 +207,37 @@ def evaluate(
                     gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
                 )
             else:
-                # GT boxes back to absolute xyxy in orig coords
-                gb = np.asarray(batch["boxes"][i], np.float64)
-                gv = np.asarray(batch["valid"][i], bool)
-                gl = np.asarray(batch["labels"][i])
-                cx, cy, w_, h_ = gb[:, 0], gb[:, 1], gb[:, 2], gb[:, 3]
-                xyxy = np.stack(
-                    [cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2], 1
-                ) * np.array([ow, oh, ow, oh])
-                gt_kw = dict(gt_boxes=xyxy[gv], gt_labels=gl[gv])
+                gt_kw = dict(gt_boxes=gt_xyxy[gv], gt_labels=gl[gv])
             evaluator.add_image(
                 int(batch["image_ids"][i]),
-                det_boxes=res["boxes"][i], det_scores=res["scores"][i],
-                det_labels=res["labels"][i], **gt_kw,
+                det_boxes=db, det_scores=ds, det_labels=dl, **gt_kw,
             )
-            det_records.append((
-                int(batch["image_ids"][i]), res["boxes"][i],
-                res["scores"][i], res["labels"][i],
+            det_records.append(dict(
+                image_id=int(batch["image_ids"][i]),
+                boxes=np.asarray(res["boxes"][i]),
+                scores=np.asarray(res["scores"][i])
+                if "valid" not in res else np.where(
+                    np.asarray(res["valid"][i], bool),
+                    np.asarray(res["scores"][i]), -1.0
+                ),
+                labels=np.asarray(res["labels"][i]),
+                gt_boxes=gt_xyxy, gt_labels=np.asarray(gl),
+                gt_valid=gv,
             ))
             if dumped is not None:
                 dumped.append(dict(
                     image_id=int(batch["image_ids"][i]),
-                    boxes=res["boxes"][i], scores=res["scores"][i],
-                    labels=res["labels"][i], **gt_kw,
+                    boxes=db, scores=ds, labels=dl, **gt_kw,
                 ))
     if dumped is not None:
         np.savez_compressed(save_results_path,
                             results=np.array(dumped, dtype=object))
-    if jax.process_count() > 1 and raw_gt is not None:
-        _merge_across_processes(evaluator, det_records, raw_gt, num_select)
+    if jax.process_count() > 1:
+        # both det (num_select) and gt (max_boxes) payload shapes are config
+        # constants, identical on every process (EvalLoader pads batch
+        # counts), so the allgather shapes always line up
+        _merge_across_processes(evaluator, det_records, raw_gt,
+                                num_select, max_boxes or 1)
     stats = evaluator.summarize()
     if logger:
         logger.info(
@@ -199,12 +246,16 @@ def evaluate(
     return {"coco_eval_bbox": stats, "ap50": stats[1]}
 
 
-def _merge_across_processes(evaluator, det_records, raw_gt, num_select):
+def _merge_across_processes(evaluator, det_records, raw_gt, num_select,
+                            max_boxes):
     """Gather every process's eval-shard detections so each process computes
     identical global stats (reference: CocoEvaluator.synchronize_between_
     processes, datasets/coco_eval.py:58-61, via pickle all_gather
-    misc.py:96-136 — here fixed-shape arrays + process_allgather; GT comes
-    from the shared annotation file, so only detections travel)."""
+    misc.py:96-136 — here fixed-shape arrays + process_allgather). When the
+    dataset provides raw annotations only the detections travel (GT comes
+    from the shared annotation file); otherwise the fixed-shape batch GT
+    arrays are gathered too, so shard-local stats never silently stand in
+    for global ones."""
     from jax.experimental import multihost_utils
 
     n_local = len(det_records)
@@ -213,16 +264,23 @@ def _merge_across_processes(evaluator, det_records, raw_gt, num_select):
     )
     ids = np.full((n_max,), -1, np.int64)
     boxes = np.zeros((n_max, num_select, 4), np.float32)
-    scores = np.zeros((n_max, num_select), np.float32)
+    scores = np.full((n_max, num_select), -1.0, np.float32)
     labels = np.zeros((n_max, num_select), np.int32)
-    for i, (iid, b, s, l) in enumerate(det_records):
-        ids[i] = iid
-        boxes[i] = b
-        scores[i] = s
-        labels[i] = l
-    g_ids, g_boxes, g_scores, g_labels = multihost_utils.process_allgather(
-        (ids, boxes, scores, labels)
+    gt_boxes = np.zeros((n_max, max_boxes, 4), np.float64)
+    gt_labels = np.zeros((n_max, max_boxes), np.int32)
+    gt_valid = np.zeros((n_max, max_boxes), bool)
+    for i, r in enumerate(det_records):
+        ids[i] = r["image_id"]
+        boxes[i] = r["boxes"]
+        scores[i] = r["scores"]
+        labels[i] = r["labels"]
+        gt_boxes[i] = r["gt_boxes"]
+        gt_labels[i] = r["gt_labels"]
+        gt_valid[i] = r["gt_valid"]
+    gathered = multihost_utils.process_allgather(
+        (ids, boxes, scores, labels, gt_boxes, gt_labels, gt_valid)
     )
+    g_ids, g_boxes, g_scores, g_labels, g_gtb, g_gtl, g_gtv = gathered
     me = jax.process_index()
     for p in range(jax.process_count()):
         if p == me:
@@ -231,10 +289,22 @@ def _merge_across_processes(evaluator, det_records, raw_gt, num_select):
             iid = int(g_ids[p, i])
             if iid < 0:
                 continue
-            ann = raw_gt(iid)
+            ds = np.asarray(g_scores[p, i])
+            keep = ds >= 0  # NMS-invalid entries were marked -1
+            if raw_gt is not None:
+                ann = raw_gt(iid)
+                gt_kw = dict(
+                    gt_boxes=ann["boxes"], gt_labels=ann["labels"],
+                    gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
+                )
+            else:
+                gv = np.asarray(g_gtv[p, i], bool)
+                gt_kw = dict(gt_boxes=np.asarray(g_gtb[p, i])[gv],
+                             gt_labels=np.asarray(g_gtl[p, i])[gv])
             evaluator.add_image(
-                iid, ann["boxes"], ann["labels"],
-                np.asarray(g_boxes[p, i]), np.asarray(g_scores[p, i]),
-                np.asarray(g_labels[p, i]),
-                gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
+                iid,
+                det_boxes=np.asarray(g_boxes[p, i])[keep],
+                det_scores=ds[keep],
+                det_labels=np.asarray(g_labels[p, i])[keep],
+                **gt_kw,
             )

@@ -88,6 +88,10 @@ def main(args):
         )
     cfg = load_config(args.config_file)
     cfg = apply_overrides(cfg, args.options)
+    # all output_dir writes are gated on process 0 (reference save_on_master /
+    # is_main_process, util/misc.py) — state is replicated, so host 0's copy
+    # is complete; concurrent orbax writes to a shared dir would corrupt it
+    is_main = jax.process_index() == 0
     os.makedirs(args.output_dir, exist_ok=True)
     logger = setup_logger(args.output_dir, process_index=jax.process_index())
     try:  # git sha for reproducibility (reference: main.py:118)
@@ -101,8 +105,10 @@ def main(args):
     except Exception:
         pass
     logger.info(f"config: {json.dumps(dict(cfg), default=str)}")
-    with open(os.path.join(args.output_dir, "config_args_all.json"), "w") as f:
-        json.dump({**dict(cfg), **vars(args)}, f, default=str, indent=1)
+    if is_main:
+        with open(os.path.join(args.output_dir, "config_args_all.json"),
+                  "w") as f:
+            json.dump({**dict(cfg), **vars(args)}, f, default=str, indent=1)
 
     model, ccfg, weight_dict = build_model(cfg)
     canvas_hw = (cfg.get("canvas_h", 800), cfg.get("canvas_w", 1344))
@@ -169,7 +175,7 @@ def main(args):
         schedule_type = "onecycle"
     elif cfg.get("multi_step_lr"):
         schedule_type = "multistep"
-    tx = make_optimizer(
+    tx, lr_schedule = make_optimizer(
         params, lr=cfg.lr, lr_backbone=cfg.lr_backbone,
         weight_decay=cfg.weight_decay, clip_max_norm=cfg.clip_max_norm,
         lr_drop_step=lr_drop_step,
@@ -177,6 +183,7 @@ def main(args):
         lr_drop_steps=[e * steps_per_epoch
                        for e in cfg.get("lr_drop_list", [])],
         total_steps=cfg.epochs * steps_per_epoch,
+        return_schedule=True,
     )
     state = create_train_state(params, tx, model.num_classes,
                                model.hidden_dim, rng)
@@ -199,15 +206,25 @@ def main(args):
             loaded_params = jtu.tree_map_with_path(
                 keep, loaded_params, state.params
             )
-        # fresh EMA tracks start from the loaded weights, matching the
-        # reference's ModelEMA-created-after-load (main.py:292)
+        # fresh EMA tracks (incl. the --use_ema ModelEma) start from the
+        # loaded weights, matching the reference's ModelEMA-created-after-load
+        # (main.py:292)
         state = state.replace(
             params=loaded_params,
             ema_teacher=jax.tree.map(jnp.copy, loaded_params),
             best_ema=jax.tree.map(jnp.copy, loaded_params),
+            model_ema=jax.tree.map(jnp.copy, loaded_params),
         )
         logger.info(f"loaded pretrain weights: {args.pretrain_model_path}")
-    state, start_epoch = maybe_auto_resume(args.output_dir, state)
+    state, start_epoch, resume_meta = maybe_auto_resume(args.output_dir, state)
+    if start_epoch == 0 and args.resume:
+        # explicit --resume when output_dir has no checkpoint yet
+        # (reference main.py:226-245; scripts/DINO_eval_ema.sh passes a
+        # best-family dir here)
+        from .train.checkpoint import load_resume
+
+        state, start_epoch, resume_meta = load_resume(args.resume, state)
+        logger.info(f"resumed from {args.resume} (epoch {start_epoch})")
 
     # one re-iterable eval loader for the whole run (the reference
     # rebuilds DataLoaders; EvalLoader re-iterates cheaply)
@@ -216,6 +233,10 @@ def main(args):
                                   process_index=jax.process_index(),
                                   process_count=jax.process_count())
 
+    # reference dino.py:989-992,1136: PostProcess gets the config's
+    # nms_iou_threshold (>0 enables class-aware eval NMS)
+    nms_thr = float(cfg.get("nms_iou_threshold") or -1.0)
+
     if args.eval:
         eval_params = state.model_ema if args.ema else state.params
         stats = evaluate(
@@ -223,11 +244,14 @@ def main(args):
             cfg.num_select, logger,
             save_results_path=os.path.join(args.output_dir, "results.npz")
             if args.save_results else None,
+            nms_iou_threshold=nms_thr,
         )
         logger.info(json.dumps(stats))
         return
 
-    best = BestTracker(args.output_dir)
+    best = BestTracker(args.output_dir,
+                       initial_best=resume_meta.get("best"),
+                       write_enabled=is_main)
     burn_epochs = cfg.get("burn_epochs", cfg.epochs)
     thresholds = np.full((cfg.num_classes,),
                          cfg.get("pseudo_label_threshold", 0.3), np.float32)
@@ -257,6 +281,9 @@ def main(args):
                 seed=args.seed, epoch=epoch,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                # burn-in steps never consume the strong views — skip the
+                # photometric aug work on the host entirely
+                compute_strong=(epoch >= burn_epochs),
             )
         if args.debug:
             import itertools
@@ -284,35 +311,39 @@ def main(args):
             )
         state = update_emas_per_epoch(state, epoch, cfg)
 
-        save_checkpoint(os.path.join(args.output_dir, "checkpoint"),
-                        jax.device_get(state), epoch, use_async=True)
-        if cfg.get("save_checkpoint_interval", 1) and (
-            (epoch + 1) % cfg.save_checkpoint_interval == 0
-        ):
-            save_checkpoint(
-                os.path.join(args.output_dir, f"checkpoint{epoch:04d}"),
-                jax.device_get(state), epoch,
-            )
+        if is_main:
+            save_checkpoint(os.path.join(args.output_dir, "checkpoint"),
+                            jax.device_get(state), epoch, use_async=True,
+                            extra={"best": best.best})
+            if cfg.get("save_checkpoint_interval", 1) and (
+                (epoch + 1) % cfg.save_checkpoint_interval == 0
+            ):
+                save_checkpoint(
+                    os.path.join(args.output_dir, f"checkpoint{epoch:04d}"),
+                    jax.device_get(state), epoch,
+                )
 
         # --- per-epoch eval: student + EMA teacher (+ best-EMA after
         # burn-in), best families keyed on AP50 (main.py:416-515) ---
         stats = evaluate(state.params, model, val_loader, categories,
-                         cfg.num_select, logger)
+                         cfg.num_select, logger, nms_iou_threshold=nms_thr)
         best.update("checkpoint_best_regular", stats["ap50"],
                     jax.device_get(state.params), epoch)
         t_stats = evaluate(state.ema_teacher, model, val_loader,
-                           categories, cfg.num_select, logger)
+                           categories, cfg.num_select, logger,
+                           nms_iou_threshold=nms_thr)
         best.update("best_ema_teacher", t_stats["ap50"],
                     jax.device_get(state.ema_teacher), epoch)
         if cfg.get("use_ema"):
             # 4th family: the --use_ema ModelEma track (main.py:448-457)
             e_stats = evaluate(state.model_ema, model, val_loader,
-                               categories, cfg.num_select, logger)
+                               categories, cfg.num_select, logger,
+                               nms_iou_threshold=nms_thr)
             best.update("checkpoint_best_ema", e_stats["ap50"],
                         jax.device_get(state.model_ema), epoch)
         log_line = {
             "epoch": epoch,
-            "lr": float(make_optimizer.last_schedule(int(state.step))),
+            "lr": float(lr_schedule(int(state.step))),
             **{f"train_{k}": v for k, v in train_stats.items()},
             "ap50_student": stats["ap50"],
             "ap50_teacher": t_stats["ap50"],
@@ -321,12 +352,21 @@ def main(args):
         }
         if epoch >= burn_epochs:
             b_stats = evaluate(state.best_ema, model, val_loader,
-                               categories, cfg.num_select, logger)
+                               categories, cfg.num_select, logger,
+                               nms_iou_threshold=nms_thr)
             best.update("best_ema_model", b_stats["ap50"],
                         jax.device_get(state.best_ema), epoch)
             log_line["ap50_best_ema"] = b_stats["ap50"]
-        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
-            f.write(json.dumps(log_line) + "\n")
+        if is_main:
+            from .train.checkpoint import update_checkpoint_meta
+
+            # record post-eval best-family state in the resumable checkpoint
+            update_checkpoint_meta(
+                os.path.join(args.output_dir, "checkpoint"),
+                {"best": best.best},
+            )
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(log_line) + "\n")
         logger.info(json.dumps(log_line))
 
 

@@ -29,6 +29,22 @@ def _ckptr():
 
 
 _async_ckptr = None
+# meta.json contents for async saves still in flight: flushed only after
+# wait_until_finished confirms the orbax write committed, so a crash mid-save
+# can never leave an epoch-N meta next to an epoch-N-1 checkpoint (the stale
+# pair would make auto-resume silently skip an epoch).
+_pending_meta: dict = {}
+
+
+def _write_meta(path: str, meta: dict):
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def _flush_pending_meta():
+    while _pending_meta:
+        p, m = _pending_meta.popitem()
+        _write_meta(p, m)
 
 
 def _get_async_ckptr():
@@ -41,13 +57,14 @@ def _get_async_ckptr():
         import atexit
 
         _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-        atexit.register(_async_ckptr.wait_until_finished)
+        atexit.register(wait_for_async_saves)
     return _async_ckptr
 
 
 def wait_for_async_saves():
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    _flush_pending_meta()
 
 
 def save_checkpoint(path: str, state: Any, epoch: int,
@@ -55,15 +72,33 @@ def save_checkpoint(path: str, state: Any, epoch: int,
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     state = jax.device_get(state)
+    meta = {"epoch": epoch, **(extra or {})}
     if use_async:
         ck = _get_async_ckptr()
         ck.wait_until_finished()  # serialize saves to the same path
+        _flush_pending_meta()  # previous saves are now committed
         ck.save(path, state, force=True)
+        _pending_meta[path] = meta
     else:
         _ckptr().save(path, state, force=True)
-    meta = {"epoch": epoch, **(extra or {})}
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f)
+        _write_meta(path, meta)
+
+
+def update_checkpoint_meta(path: str, extra: dict):
+    """Merge fields into a checkpoint's meta.json after the fact (used to
+    record the BestTracker state, which is only known after the post-save
+    evals). Works whether the save's meta write is still pending (async) or
+    already on disk."""
+    path = os.path.abspath(path)
+    if path in _pending_meta:
+        _pending_meta[path].update(extra)
+        return
+    meta = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    meta.update(extra)
+    _write_meta(path, meta)
 
 
 def load_checkpoint(path: str, target: Any):
@@ -103,44 +138,92 @@ def load_pretrain_params(path: str, params_target: Any):
     leaves = []
     for (kp, t), r in zip(paths, flat_r):
         r = np.asarray(r)
-        if r.size != t.size:
+        # exact shape match required: a transposed / mis-laid-out kernel of
+        # the right SIZE (e.g. from a foreign converter) must fail loudly,
+        # not silently reshape into a broken model
+        if r.shape != tuple(t.shape):
             raise ValueError(
                 f"pretrain checkpoint at {path}: param "
                 f"{jax.tree_util.keystr(kp)} has shape {r.shape}, model "
-                f"expects {t.shape} — wrong config for this checkpoint?"
+                f"expects {tuple(t.shape)} — wrong config or a mis-converted "
+                f"checkpoint?"
             )
-        leaves.append(r.astype(t.dtype).reshape(t.shape))
+        leaves.append(r.astype(t.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def maybe_auto_resume(output_dir: str, state: Any):
-    """Resume from <output_dir>/checkpoint if present (main.py:226-245)."""
+    """Resume from <output_dir>/checkpoint if present (main.py:226-245).
+
+    Returns (state, start_epoch, meta) — meta carries the persisted
+    BestTracker `best` dict so a resumed run cannot let a mediocre
+    post-resume epoch overwrite a better pre-crash best family
+    (util/utils.py BestMetricHolder resume semantics)."""
     path = os.path.join(output_dir, "checkpoint")
     if os.path.isdir(path):
         state, meta = load_checkpoint(path, state)
-        return state, int(meta.get("epoch", -1)) + 1
-    return state, 0
+        return state, int(meta.get("epoch", -1)) + 1, meta
+    return state, 0, {}
+
+
+def load_resume(path: str, state: Any):
+    """Explicit --resume load (reference main.py:226-245 args.resume branch).
+
+    Accepts a full TrainState checkpoint (resume training where it left
+    off) or a params-only best-family checkpoint (e.g. best_ema_teacher for
+    --eval --ema, scripts/DINO_eval_ema.sh) — in the latter case params and
+    every EMA track start from the loaded weights.
+    Returns (state, start_epoch, meta)."""
+    path = os.path.abspath(path)
+    raw = _ckptr().restore(path)
+    meta = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+        state, meta = load_checkpoint(path, state)
+        return state, int(meta.get("epoch", -1)) + 1, meta
+    import jax.numpy as jnp
+
+    loaded = load_pretrain_params(path, state.params)
+    state = state.replace(
+        params=loaded,
+        ema_teacher=jax.tree.map(jnp.copy, loaded),
+        best_ema=jax.tree.map(jnp.copy, loaded),
+        model_ema=jax.tree.map(jnp.copy, loaded),
+    )
+    return state, int(meta.get("epoch", -1)) + 1, meta
 
 
 class BestTracker:
     """Track the best AP50 per family and save on improvement
-    (util/utils.py BestMetricHolder :398-470 + main.py best families)."""
+    (util/utils.py BestMetricHolder :398-470 + main.py best families).
 
-    def __init__(self, output_dir: str):
+    `best` persists across restarts via the main checkpoint's meta.json
+    (pass the resumed dict as `initial_best`). With `write_enabled=False`
+    (non-zero process_index on a pod) the tracker still tracks — so every
+    process agrees on what is best — but only process 0 writes files."""
+
+    def __init__(self, output_dir: str, initial_best: Optional[dict] = None,
+                 write_enabled: bool = True):
         self.output_dir = output_dir
-        self.best: dict = {}
+        self.best: dict = dict(initial_best or {})
+        self.write_enabled = write_enabled
 
     def update(self, family: str, ap50: float, tree: Any, epoch: int) -> bool:
         prev = self.best.get(family, -1.0)
         if ap50 > prev:
             self.best[family] = float(ap50)
-            save_checkpoint(
-                os.path.join(self.output_dir, family), tree, epoch,
-                {"ap50": float(ap50)},
-            )
-            with open(os.path.join(self.output_dir, "log_best.txt"), "a") as f:
-                f.write(json.dumps(
-                    {"family": family, "epoch": epoch, "ap50": float(ap50)}
-                ) + "\n")
+            if self.write_enabled:
+                save_checkpoint(
+                    os.path.join(self.output_dir, family), tree, epoch,
+                    {"ap50": float(ap50)},
+                )
+                with open(os.path.join(self.output_dir, "log_best.txt"),
+                          "a") as f:
+                    f.write(json.dumps(
+                        {"family": family, "epoch": epoch,
+                         "ap50": float(ap50)}
+                    ) + "\n")
             return True
         return False

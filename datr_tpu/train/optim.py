@@ -54,11 +54,14 @@ def make_optimizer(
     schedule_type: str = "step",  # 'step' | 'multistep' | 'onecycle'
     lr_drop_steps: list | None = None,  # for 'multistep' (lr_drop_list)
     total_steps: int | None = None,  # for 'onecycle' (main.py onecyclelr)
-) -> optax.GradientTransformation:
+    return_schedule: bool = False,
+):
     """Param-group optimizer (reference util/get_param_dicts.py 'default'
-    groups + main.py schedules). `make_optimizer.last_schedule` exposes the
-    main-group lr schedule so the driver can log lr(step) like the
-    reference's metric_logger lr meter (engine.py:43,122)."""
+    groups + main.py schedules). With return_schedule=True, returns
+    (tx, lr_schedule) where lr_schedule(step) is this instance's main-group
+    lr — so the driver can log lr(step) like the reference's metric_logger
+    lr meter (engine.py:43,122) without shared mutable state between
+    optimizer instances."""
 
     def make_schedule(learning_rate):
         if schedule_type == "onecycle" and total_steps:
@@ -80,9 +83,7 @@ def make_optimizer(
                            weight_decay=weight_decay)
 
     sched = make_schedule(lr)
-    make_optimizer.last_schedule = (
-        sched if callable(sched) else (lambda step: lr)
-    )
+    lr_schedule = sched if callable(sched) else (lambda step: lr)
     tx = optax.multi_transform(
         {
             "main": adamw(lr),
@@ -93,4 +94,6 @@ def make_optimizer(
     )
     if clip_max_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    if return_schedule:
+        return tx, lr_schedule
     return tx

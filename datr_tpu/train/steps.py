@@ -204,12 +204,26 @@ def train_step_self_training(
     return new_state, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("model", "num_select"))
-def eval_step(params, batch, model, num_select: int = 300):
-    """Forward + postprocess for evaluation (engine.py:349-421)."""
-    from ..models.postprocess import postprocess
+@functools.partial(jax.jit,
+                   static_argnames=("model", "num_select",
+                                    "nms_iou_threshold"))
+def eval_step(params, batch, model, num_select: int = 300,
+              nms_iou_threshold: float = -1.0):
+    """Forward + postprocess for evaluation (engine.py:349-421).
+
+    nms_iou_threshold > 0 enables the reference's optional class-aware NMS
+    (dino.py:989-992,1136 — PostProcess(nms_iou_threshold=args.nms_iou_
+    threshold)); the result then carries a `valid` mask for the fixed-shape
+    NMS output."""
+    from ..models.postprocess import postprocess, postprocess_with_nms
 
     out = model.apply(params, batch["images"], batch["pad_mask"], train=False)
+    if nms_iou_threshold and nms_iou_threshold > 0:
+        return postprocess_with_nms(
+            out["pred_logits"], out["pred_boxes"], batch["orig_sizes"],
+            num_select=num_select, nms_iou_threshold=nms_iou_threshold,
+            max_out=num_select,
+        )
     return postprocess(
         out["pred_logits"], out["pred_boxes"], batch["orig_sizes"],
         num_select=num_select,

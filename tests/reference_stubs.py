@@ -311,6 +311,26 @@ def _make_timm():
 _installed = False
 
 
+def _patch_to_cpu():
+    """Map .to('cuda'...) onto CPU: the reference criterion hardcodes
+    .to('cuda') in its zero-DN branches (dino.py:813-818,864-869) and
+    dn_components uses .to('cuda') for index tensors (:94,104,113)."""
+    orig_to = torch.Tensor.to
+
+    def _is_cuda(d):
+        return isinstance(d, (str, torch.device)) and str(d).startswith(
+            "cuda"
+        )
+
+    def to(self, *args, **kwargs):
+        args = tuple("cpu" if _is_cuda(a) else a for a in args)
+        if _is_cuda(kwargs.get("device")):
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = to
+
+
 def install():
     """Install stubs + reference root on sys.path. Idempotent."""
     global _installed
@@ -327,6 +347,29 @@ def install():
     # a no-op so the unmodified code runs on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
     nn.Module.cuda = lambda self, *a, **k: self
+    _patch_to_cpu()
     if REFERENCE_ROOT not in sys.path:
         sys.path.append(REFERENCE_ROOT)
     _installed = True
+
+
+def make_msda_differentiable():
+    """Replace the reference's MSDeformAttnFunction (whose stub backward
+    raises) with a plain call into the grid_sample forward, so torch
+    autograd differentiates the WHOLE reference model — enables loss/grad
+    parity tests (the CUDA backward col2im this stands in for is
+    ms_deform_im2col_cuda.cuh:238-300). Call after install() + first
+    reference import."""
+    install()
+    import models.dino.ops.functions.ms_deform_attn_func as func_mod
+    import models.dino.ops.modules.ms_deform_attn as mod_mod
+
+    class _DifferentiableMSDA:
+        @staticmethod
+        def apply(value, shapes, start_index, loc, weights, step):
+            return _ms_deform_attn_forward(
+                value, shapes, start_index, loc, weights, step
+            )
+
+    func_mod.MSDeformAttnFunction = _DifferentiableMSDA
+    mod_mod.MSDeformAttnFunction = _DifferentiableMSDA

@@ -96,6 +96,15 @@ def test_burnin_then_self_training_relaunch(tmp_path):
     )
     assert (st2_dir / "log.txt").exists()
 
+    # scripts/DINO_eval_ema.sh flow: fresh OUTPUT_DIR + --resume a
+    # params-only best family + --eval --ema must evaluate the RESUMED
+    # weights, not random init (ADVICE r2 high finding)
+    ev_dir = tmp_path / "ev_ema"
+    _run(
+        cfg, ev_dir, "--eval", "--ema",
+        "--resume", str(burn_dir / "best_ema_teacher"),
+    )
+
 
 @pytest.mark.slow
 def test_eval_flag(tmp_path):

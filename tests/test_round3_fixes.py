@@ -1,0 +1,245 @@
+"""Round-3 fix coverage (VERDICT r2 weak #3,#4,#6,#7 + ADVICE items):
+
+- BestTracker state persists through the checkpoint meta and survives
+  resume (a worse post-resume epoch must NOT overwrite a better family).
+- load_resume accepts both full-TrainState and params-only checkpoints.
+- load_pretrain_params rejects size-matching but shape-mismatched leaves.
+- async save defers meta.json until the orbax write committed.
+- the windowed metric drain still aborts on a poisoned (NaN) loss.
+- make_da_loader(compute_strong=False) skips strong-aug work.
+- two make_optimizer instances keep independent lr schedules.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from datr_tpu.train.checkpoint import (
+    BestTracker,
+    load_pretrain_params,
+    load_resume,
+    maybe_auto_resume,
+    save_checkpoint,
+    update_checkpoint_meta,
+    wait_for_async_saves,
+)
+
+
+def _tiny_state():
+    """A minimal TrainState-shaped tree (has params + opt_state keys)."""
+    import optax
+    from datr_tpu.train.optim import make_optimizer
+    from datr_tpu.train.state import create_train_state
+
+    params = {"params": {"w": jnp.ones((2, 3)), "b": jnp.zeros((3,))}}
+    tx = make_optimizer(params, clip_max_norm=0.0)
+    return create_train_state(params, tx, 4, 8, jax.random.PRNGKey(0)), tx
+
+
+def test_best_tracker_persists_across_resume(tmp_path):
+    out = str(tmp_path)
+    state, _ = _tiny_state()
+    best = BestTracker(out)
+    assert best.update("best_ema_teacher", 0.5, state.params, epoch=0)
+    save_checkpoint(os.path.join(out, "checkpoint"), jax.device_get(state),
+                    epoch=0, extra={"best": best.best})
+
+    # fresh process: resume restores the best dict; a worse epoch must not
+    # overwrite the saved family
+    state2, _ = _tiny_state()
+    state2, start, meta = maybe_auto_resume(out, state2)
+    assert start == 1
+    best2 = BestTracker(out, initial_best=meta.get("best"))
+    assert best2.best == {"best_ema_teacher": 0.5}
+    marker = os.path.getmtime(os.path.join(out, "best_ema_teacher.meta.json"))
+    assert not best2.update("best_ema_teacher", 0.3, state2.params, epoch=1)
+    assert os.path.getmtime(
+        os.path.join(out, "best_ema_teacher.meta.json")) == marker
+    assert best2.update("best_ema_teacher", 0.7, state2.params, epoch=1)
+
+
+def test_update_checkpoint_meta_merges(tmp_path):
+    out = str(tmp_path)
+    state, _ = _tiny_state()
+    p = os.path.join(out, "checkpoint")
+    save_checkpoint(p, jax.device_get(state), epoch=3)
+    update_checkpoint_meta(p, {"best": {"f": 0.9}})
+    with open(p + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta == {"epoch": 3, "best": {"f": 0.9}}
+
+
+def test_async_meta_deferred_until_commit(tmp_path):
+    out = str(tmp_path)
+    state, _ = _tiny_state()
+    p = os.path.join(out, "checkpoint")
+    save_checkpoint(p, jax.device_get(state), epoch=0, use_async=True)
+    update_checkpoint_meta(p, {"best": {"f": 1.0}})  # pending-path merge
+    wait_for_async_saves()
+    with open(p + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 0 and meta["best"] == {"f": 1.0}
+    # the checkpoint itself committed too
+    state2, _ = _tiny_state()
+    state2, start, meta = maybe_auto_resume(out, state2)
+    assert start == 1
+
+
+def test_load_resume_params_only_and_full(tmp_path):
+    out = str(tmp_path)
+    state, _ = _tiny_state()
+    bumped = jax.tree.map(lambda x: x + 1.0, state.params)
+
+    # params-only family checkpoint (what BestTracker writes)
+    fam = os.path.join(out, "best_ema_teacher")
+    save_checkpoint(fam, jax.device_get(bumped), epoch=5, extra={"ap50": 0.4})
+    fresh, _ = _tiny_state()
+    resumed, start, meta = load_resume(fam, fresh)
+    np.testing.assert_allclose(
+        np.asarray(resumed.params["params"]["w"]), 2.0)
+    # every EMA track starts from the loaded weights (--eval --ema path)
+    np.testing.assert_allclose(
+        np.asarray(resumed.model_ema["params"]["w"]), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(resumed.ema_teacher["params"]["w"]), 2.0)
+    assert start == 6
+
+    # full TrainState checkpoint
+    full = os.path.join(out, "checkpoint")
+    save_checkpoint(full, jax.device_get(state.replace(params=bumped)),
+                    epoch=2)
+    fresh2, _ = _tiny_state()
+    resumed2, start2, _ = load_resume(full, fresh2)
+    np.testing.assert_allclose(
+        np.asarray(resumed2.params["params"]["w"]), 2.0)
+    assert start2 == 3
+
+
+def test_load_pretrain_rejects_shape_mismatch(tmp_path):
+    out = str(tmp_path)
+    state, _ = _tiny_state()
+    # a transposed kernel: same size, different shape
+    bad = {"params": {"w": jnp.ones((3, 2)), "b": jnp.zeros((3,))}}
+    save_checkpoint(os.path.join(out, "bad"), jax.device_get(bad), epoch=0)
+    with pytest.raises(ValueError, match="shape"):
+        load_pretrain_params(os.path.join(out, "bad"), state.params)
+
+
+def test_nan_abort_fires_within_window(monkeypatch):
+    """Poisoned loss at step k must still abort (reference engine.py:81-84),
+    even though metrics are now fetched in windows (VERDICT r2 weak #3)."""
+    import datr_tpu.engine as engine
+
+    calls = {"n": 0}
+
+    def fake_step(state, batch, model, tx, ccfg, weight_dict, ema_decay=0.0):
+        calls["n"] += 1
+        loss = jnp.float32(np.nan) if calls["n"] == 3 else jnp.float32(1.0)
+        return state, {"loss": loss}
+
+    monkeypatch.setattr(engine, "train_step_burnin", fake_step)
+    loader = [{"images": np.zeros((1,))} for _ in range(30)]
+    with pytest.raises(SystemExit):
+        engine.train_one_epoch(
+            state=None, model=None, tx=None, loader=loader, ccfg=None,
+            weight_dict={}, epoch=0, print_freq=10,
+        )
+    # abort happened within one window of the poisoned step
+    assert calls["n"] <= 13
+
+
+def test_loader_skips_strong_aug_when_disabled(tmp_path, monkeypatch):
+    from datr_tpu.data import coco as coco_mod
+    from datr_tpu.data.loader import make_da_loader
+    from datr_tpu.data.synthetic import synthetic_da_pair
+    from datr_tpu.data.transforms import DATrainTransform
+
+    ds = synthetic_da_pair(n_images=4, num_classes=3)
+    tf = DATrainTransform([64, 72], 96, [56, 64], [48, 64])
+
+    calls = {"n": 0}
+    real = coco_mod.strong_augment
+
+    def counting(img, rng):
+        calls["n"] += 1
+        return real(img, rng)
+
+    monkeypatch.setattr(coco_mod, "strong_augment", counting)
+
+    b = next(iter(make_da_loader(ds, 2, (96, 128), tf, max_boxes=8,
+                                 compute_strong=False)))
+    assert calls["n"] == 0
+    assert b["images_strong"] is b["images"]  # aliased, no extra work
+
+    b = next(iter(make_da_loader(ds, 2, (96, 128), tf, max_boxes=8,
+                                 compute_strong=True)))
+    assert calls["n"] > 0
+    assert b["images_strong"] is not b["images"]
+
+
+def test_optimizer_schedules_are_independent():
+    from datr_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.ones((2, 2))}
+    _, s1 = make_optimizer(params, lr=1e-4, lr_drop_step=10,
+                           return_schedule=True)
+    _, s2 = make_optimizer(params, lr=5e-3, lr_drop_step=1000,
+                           return_schedule=True)
+    # the first schedule is unaffected by the second instance
+    assert float(s1(0)) == pytest.approx(1e-4)
+    assert float(s1(11)) == pytest.approx(1e-5)
+    assert float(s2(0)) == pytest.approx(5e-3)
+
+
+def test_eval_step_nms_wiring():
+    """nms_iou_threshold>0 must route through postprocess_with_nms and
+    suppress duplicate boxes (reference dino.py:989-992,1136)."""
+    from datr_tpu.train.steps import eval_step
+
+    class FakeModel:
+        def apply(self, params, images, pad_mask, train=False):
+            # two near-identical high-score boxes + one distinct
+            logits = np.full((1, 3, 3), -8.0, np.float32)
+            logits[0, 0, 1] = 4.0
+            logits[0, 1, 1] = 3.5  # overlaps box 0 -> should be suppressed
+            logits[0, 2, 2] = 3.0
+            boxes = np.array([[[0.3, 0.3, 0.2, 0.2],
+                               [0.305, 0.3, 0.2, 0.2],
+                               [0.7, 0.7, 0.1, 0.1]]], np.float32)
+            return {"pred_logits": jnp.asarray(logits),
+                    "pred_boxes": jnp.asarray(boxes)}
+
+    batch = {
+        "images": jnp.zeros((1, 8, 8, 3)),
+        "pad_mask": jnp.zeros((1, 8, 8), bool),
+        "orig_sizes": jnp.asarray([[100.0, 100.0]]),
+    }
+    model = FakeModel()
+    plain = eval_step(None, batch, model, num_select=4)
+    assert "valid" not in plain
+
+    res = jax.device_get(
+        eval_step(None, batch, model, num_select=4, nms_iou_threshold=0.5)
+    )
+    assert "valid" in res
+    kept = res["valid"][0]
+    kept_boxes = res["boxes"][0][kept]
+    kept_scores = res["scores"][0][kept]
+    # the duplicate of the top box is suppressed: no two kept boxes overlap
+    # by more than the threshold
+    def iou(a, b):
+        x0 = max(a[0], b[0]); y0 = max(a[1], b[1])
+        x1 = min(a[2], b[2]); y1 = min(a[3], b[3])
+        inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+        ar = lambda u: max(u[2] - u[0], 0) * max(u[3] - u[1], 0)
+        return inter / max(ar(a) + ar(b) - inter, 1e-9)
+    same_class = res["labels"][0][kept]
+    for i in range(len(kept_boxes)):
+        for j in range(i + 1, len(kept_boxes)):
+            if same_class[i] == same_class[j]:
+                assert iou(kept_boxes[i], kept_boxes[j]) <= 0.5
+    assert (kept_scores > 0).all()

@@ -111,30 +111,59 @@ def summarize(trace_dir):
             pid_names[e["pid"]] = e["args"].get("name", "")
     device_pids = {p for p, n in pid_names.items()
                    if "TPU" in n or "/device" in n.lower()}
-    tot = defaultdict(float)
-    count = defaultdict(int)
-    top = defaultdict(float)
+
+    dev = []
     for e in events:
         if device_pids and e.get("pid") not in device_pids:
             continue
-        name = e.get("name", "").lower()
-        dur = e["dur"]  # us
-        if name.startswith("thread") or "stream" in name:
+        name = e.get("name", "")
+        if name.lower().startswith("thread") or "stream" in name.lower():
             continue
+        dev.append(e)
+
+    # parent intervals: jit entry + while loops (the MSDA gather maps).
+    # Everything else is a leaf op; leaves sum to the device step time.
+    whiles = [(e["ts"], e["ts"] + e["dur"]) for e in dev
+              if e["name"].startswith("while")]
+    leaves = [e for e in dev
+              if not e["name"].startswith(("while", "jit_", "jit("))]
+
+    def in_while(e):
+        mid = e["ts"] + e["dur"] / 2
+        return any(a <= mid <= b for a, b in whiles)
+
+    tot = defaultdict(float)
+    count = defaultdict(int)
+    top = defaultdict(float)
+    topc = defaultdict(int)
+    in_w = defaultdict(float)
+    for e in leaves:
+        name = e["name"].lower()
+        dur = e["dur"]  # us
         cat = "other"
         for c, keys in CATEGORIES:
             if any(k in name for k in keys):
                 cat = c
                 break
-        tot[cat] += dur
-        count[cat] += 1
-        top[e.get("name", "")] += dur
-    print("=== category totals (ms, device ops) ===")
-    for c, v in sorted(tot.items(), key=lambda kv: -kv[1]):
-        print(f"{c:16s} {v/1e3:9.2f} ms  ({count[c]} events)")
-    print("=== top 25 ops ===")
-    for n, v in sorted(top.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{v/1e3:9.2f} ms  {n[:110]}")
+        where = "IN-gather-loop" if in_while(e) else "outside"
+        tot[(cat, where)] += dur
+        count[(cat, where)] += 1
+        # collapse numeric suffixes so repeated per-layer ops aggregate
+        base = e["name"].split(".")[0]
+        top[(base, where)] += dur
+        topc[(base, where)] += 1
+        in_w[where] += dur
+
+    total = sum(in_w.values())
+    print(f"=== leaf device time: {total/1e3:.2f} ms "
+          f"(inside gather loops {in_w.get('IN-gather-loop', 0)/1e3:.2f}, "
+          f"outside {in_w.get('outside', 0)/1e3:.2f}) ===")
+    print("=== category x location (ms) ===")
+    for (c, wh), v in sorted(tot.items(), key=lambda kv: -kv[1]):
+        print(f"{c:16s} {wh:15s} {v/1e3:9.2f} ms  ({count[(c, wh)]} events)")
+    print("=== top 40 op groups (name-prefix aggregated) ===")
+    for (n, wh), v in sorted(top.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{v/1e3:9.2f} ms  x{topc[(n, wh)]:4d}  {wh:14s} {n[:80]}")
 
 
 def main():
