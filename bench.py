@@ -33,6 +33,8 @@ def main():
         enc_layers=6, dec_layers=6, dim_feedforward=2048,
         dn_number=100, dn_single_pad=20, dn_labelbook_size=9,
         use_remat=False, dtype=jnp.bfloat16,
+        msda_table_mode=os.environ.get("BENCH_TABLE_MODE", "slice"),
+        fast_norm=os.environ.get("BENCH_FAST_NORM", "0") == "1",
     )
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (batch, H, W, 3), jnp.float32)

@@ -95,14 +95,38 @@ class DINO(nn.Module):
     return_interm_indices: Tuple[int, ...] = (1, 2, 3)
     msda_impl: str = "xla"
     msda_bh_mode: str = "auto"  # 'flat' under tensor parallelism (mesh.py)
+    msda_table_mode: str = "slice"  # quad-table build: 'slice' | 'conv'
+    fast_norm: bool = False  # bf16 LN/GN with f32-accumulated stats
+    sp_axis: str = ""  # mesh axis for encoder sequence parallelism ('seq')
     use_remat: bool = True
+    # segmentation head (reference args.masks -> DETRsegm, dino.py:1067-1068;
+    # dead in every shipped DATR config but part of the surface)
+    with_masks: bool = False
+    mask_query_chunk: int = 0  # bound mask-head peak memory (0 = one pass)
     dtype: Any = jnp.float32
 
     def setup(self):
         C = self.hidden_dim
+        # the mask FPN needs raw backbone stages 0..2 (C2/C3/C4) as laterals
+        # (segmentation.py:47,70); request the union with the detection stages
+        backbone_stages = self.return_interm_indices
+        if self.with_masks:
+            backbone_stages = tuple(
+                sorted(set(backbone_stages) | {0, 1, 2})
+            )
+        self.backbone_stages = backbone_stages
         self.backbone = make_backbone(self.backbone_name, self.dtype,
-                                      self.return_interm_indices)
+                                      backbone_stages)
         n_backbone = len(self.return_interm_indices)
+        if self.with_masks:
+            from .segmentation import MaskHeadSmallConv, MHAttentionMap
+
+            self.bbox_attention = MHAttentionMap(
+                C, self.nheads, dtype=self.dtype, name="bbox_attention"
+            )
+            self.mask_head = MaskHeadSmallConv(
+                C + self.nheads, C, dtype=self.dtype, name="mask_head"
+            )
 
         projs = []
         for i in range(self.num_feature_levels):
@@ -112,9 +136,11 @@ class DINO(nn.Module):
             else:
                 conv = nn.Conv(C, (3, 3), strides=(2, 2), padding=1,
                                dtype=self.dtype, name=f"input_proj{i}_conv")
+            from .norms import group_norm
+
             projs.append(
-                (conv, nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                                    name=f"input_proj{i}_norm"))
+                (conv, group_norm(self.dtype, self.fast_norm,
+                                  f"input_proj{i}_norm"))
             )
         self.input_projs = projs
 
@@ -132,7 +158,8 @@ class DINO(nn.Module):
             enc_layer(
                 C, self.dim_feedforward, self.num_feature_levels, self.nheads,
                 self.enc_n_points, self.dropout, self.msda_impl,
-                self.msda_bh_mode, self.dtype,
+                self.msda_bh_mode, self.msda_table_mode, self.dtype,
+                self.fast_norm,
                 name=f"enc_layer{i}",
             )
             for i in range(self.enc_layers)
@@ -141,12 +168,16 @@ class DINO(nn.Module):
             dec_layer(
                 C, self.dim_feedforward, self.num_feature_levels, self.nheads,
                 self.dec_n_points, self.dropout, self.msda_impl,
-                self.msda_bh_mode, self.dtype,
+                self.msda_bh_mode, self.msda_table_mode, self.dtype,
+                self.fast_norm,
                 name=f"dec_layer{i}",
             )
             for i in range(self.dec_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        from .norms import layer_norm
+
+        self.decoder_norm = layer_norm(self.dtype, self.fast_norm,
+                                       "decoder_norm")
         self.ref_point_head = MLP(C, C, 2, dtype=self.dtype,
                                   name="ref_point_head")
 
@@ -174,8 +205,8 @@ class DINO(nn.Module):
                 name="enc_out_bbox_head",
             )
         self.enc_output = nn.Dense(C, dtype=self.dtype, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                            name="enc_output_norm")
+        self.enc_output_norm = layer_norm(self.dtype, self.fast_norm,
+                                          "enc_output_norm")
 
         self.tgt_embed = self.param(
             "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, C)
@@ -195,8 +226,11 @@ class DINO(nn.Module):
     # ------------------------------------------------------------------
     def _extract_features(self, images, pad_mask):
         """images [B,H,W,3], pad_mask [B,H,W] True=pad ->
-        (srcs: list [B,h,w,C], masks: list [B,h,w], pos: list [B,h,w,C])."""
-        feats = self.backbone(images)
+        (srcs: list [B,h,w,C], masks: list [B,h,w], pos: list [B,h,w,C],
+        stage_feats: dict stage -> raw backbone feature)."""
+        feats_all = self.backbone(images)
+        stage_feats = dict(zip(self.backbone_stages, feats_all))
+        feats = [stage_feats[s] for s in self.return_interm_indices]
         srcs, masks, poss = [], [], []
         x_extra = feats[-1]
         for lvl in range(self.num_feature_levels):
@@ -220,7 +254,7 @@ class DINO(nn.Module):
             srcs.append(s)
             masks.append(m)
             poss.append(p)
-        return srcs, masks, poss
+        return srcs, masks, poss, stage_feats
 
     @staticmethod
     def _flatten_levels(srcs, masks, poss, level_embed):
@@ -313,10 +347,15 @@ class DINO(nn.Module):
         B = src_flat.shape[0]
         # --- encoder ---
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
-        memory = src_flat
+        memory = self._sp_constraint(src_flat)
         for layer in self.encoder:
-            memory = layer(memory, pos_flat, enc_ref, spatial_shapes,
-                           mask_flat, deterministic)
+            memory = self._sp_constraint(
+                layer(memory, pos_flat, enc_ref, spatial_shapes,
+                      mask_flat, deterministic)
+            )
+        # two-stage top-k and the decoder's MSDA tables need the full
+        # sequence: replicate once here (a single all-gather over 'seq')
+        memory = self._sp_constraint(memory, replicate=True)
 
         # --- two-stage selection ---
         ref_unsig_undetach, tgt_undetach, init_box_proposal = (
@@ -355,7 +394,51 @@ class DINO(nn.Module):
 
         hs = jnp.stack(hs_list)  # [n_dec, B, N, C]
         refs = jnp.stack(refs_list)  # [n_dec+1, B, N, 4]
-        return hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal
+        return (hs, refs, tgt_undetach, ref_unsig_undetach,
+                init_box_proposal, memory)
+
+    def _sp_constraint(self, x, replicate: bool = False):
+        """Sequence-parallel sharding constraint on [B, S, C] activations.
+
+        With sp_axis set (mesh.py Mesh('data','seq','model')), the encoder's
+        flattened token axis is sharded over 'seq': each chip gathers MSDA
+        samples only for its query shard (value tables replicated — the
+        gather is issue-bound per ROW, so rows/chip, the measured wall,
+        drops by the sp factor; see ROADMAP.md ceiling analysis). XLA
+        propagates the spec through LN/FFN (elementwise over tokens) and
+        inserts one all-gather where the full sequence is required
+        (replicate=True before two-stage select + decoder)."""
+        if not self.sp_axis:
+            return x
+        from jax.sharding import PartitionSpec as P, get_abstract_mesh
+
+        if get_abstract_mesh().empty:
+            return x  # no mesh in context (e.g. init outside `with mesh:`)
+        U = P.UNCONSTRAINED
+        spec = [U] * x.ndim
+        spec[1] = None if replicate else self.sp_axis
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+
+    def _compute_masks(self, hs_last, srcs, masks, memory, spatial_shapes,
+                       stage_feats):
+        """Segmentation tail (reference DETRsegm.forward, segmentation.py:
+        66-74): per-query attention maps against the stride-32 encoder
+        memory, FPN mask head over raw backbone laterals C4/C3/C2."""
+        from .segmentation import mask_head_forward
+
+        lvl32 = len(self.return_interm_indices) - 1  # stride-32 level
+        h32, w32 = spatial_shapes[lvl32]
+        off = sum(h * w for h, w in spatial_shapes[:lvl32])
+        B = hs_last.shape[0]
+        memory_32 = memory[:, off : off + h32 * w32].reshape(
+            B, h32, w32, -1
+        )
+        fpns = [stage_feats[2][:B], stage_feats[1][:B], stage_feats[0][:B]]
+        return mask_head_forward(
+            self.bbox_attention, self.mask_head, hs_last,
+            srcs[lvl32][:B], memory_32, masks[lvl32][:B], fpns,
+            query_chunk=self.mask_query_chunk,
+        ).astype(jnp.float32)
 
     def _head_outputs(self, hs, refs):
         """Per-layer class/box outputs. hs [n_dec,B,N,C], refs [n_dec+1,...].
@@ -381,7 +464,9 @@ class DINO(nn.Module):
         # training over the FULL batch, no DA branch (plain-DINO
         # pretraining; reference datasets/coco.py:611-640 path)
     ):
-        srcs, masks, poss = self._extract_features(images, pad_mask)
+        srcs, masks, poss, stage_feats = self._extract_features(
+            images, pad_mask
+        )
         src_flat, mask_flat, pos_flat, spatial_shapes = self._flatten_levels(
             srcs, masks, poss, self.level_embed
         )
@@ -390,7 +475,8 @@ class DINO(nn.Module):
         out: Dict[str, Any] = {}
 
         if not train:
-            hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal = (
+            (hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal,
+             memory) = (
                 self._transformer_pass(
                     src_flat, mask_flat, pos_flat, valid_ratios,
                     spatial_shapes, None, None, None, True,
@@ -404,6 +490,10 @@ class DINO(nn.Module):
             out["interm_logits"] = self.enc_out_class_head(tgt_undetach)
             out["interm_boxes"] = jax.nn.sigmoid(ref_unsig_undetach)
             out["init_box_proposal"] = init_box_proposal
+            if self.with_masks:
+                out["pred_masks"] = self._compute_masks(
+                    hs[-1], srcs, masks, memory, spatial_shapes, stage_feats,
+                )
             return out
 
         # ---------------- training: paired source/target batch -------------
@@ -440,7 +530,8 @@ class DINO(nn.Module):
             cdn = None
             attn_mask = dn_embed = dn_bbox = None
 
-        hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal = (
+        (hs, refs, tgt_undetach, ref_unsig_undetach, init_box_proposal,
+         memory) = (
             self._transformer_pass(
                 first_half(src_flat), first_half(mask_flat),
                 first_half(pos_flat), first_half(valid_ratios),
@@ -462,6 +553,12 @@ class DINO(nn.Module):
         out["interm_logits"] = self.enc_out_class_head(tgt_undetach)
         out["interm_boxes"] = jax.nn.sigmoid(ref_unsig_undetach)
         out["init_box_proposal"] = init_box_proposal
+        if self.with_masks:
+            # matching queries only (DN part excluded), supervised half
+            out["pred_masks"] = self._compute_masks(
+                hs[-1][:, pad_size:], srcs, masks, memory, spatial_shapes,
+                stage_feats,
+            )
 
         if not domain_adapt:
             return out
@@ -480,7 +577,8 @@ class DINO(nn.Module):
         )
 
         # 3. target-domain pass (no DN), prototypes (dino.py:378-393)
-        hs_t, refs_t, tgt_undetach_t, ref_unsig_undetach_t, init_prop_t = (
+        (hs_t, refs_t, tgt_undetach_t, ref_unsig_undetach_t, init_prop_t,
+         _memory_t) = (
             self._transformer_pass(
                 second_half(src_flat), second_half(mask_flat),
                 second_half(pos_flat), second_half(valid_ratios),
@@ -549,7 +647,12 @@ def build_dino_from_config(cfg) -> DINO:
         return_interm_indices=tuple(get("return_interm_indices", [1, 2, 3])),
         msda_impl=get("msda_impl", "xla"),
         msda_bh_mode=get("msda_bh_mode", "auto"),
+        msda_table_mode=get("msda_table_mode", "slice"),
+        fast_norm=get("fast_norm", False),
+        sp_axis=get("sp_axis", ""),
         use_remat=get("use_remat", True),
+        with_masks=get("masks", False),
+        mask_query_chunk=get("mask_query_chunk", 0),
         dtype=dtype,
     )
 

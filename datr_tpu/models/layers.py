@@ -65,6 +65,7 @@ class MSDeformAttn(nn.Module):
     n_points: int = 4
     impl: str = "xla"  # 'xla' | 'pallas'
     bh_mode: str = "auto"  # 'flat' under tensor parallelism (mesh.py)
+    table_mode: str = "slice"  # quad-table build: 'slice' | 'conv'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,6 +131,6 @@ class MSDeformAttn(nn.Module):
         out = ms_deform_attn(
             value, spatial_shapes, loc.astype(jnp.float32),
             attn.astype(jnp.float32), impl=self.impl,
-            bh_mode=self.bh_mode,
+            bh_mode=self.bh_mode, table_mode=self.table_mode,
         )
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import MSDeformAttn
+from .norms import layer_norm
 
 
 def encoder_reference_points(
@@ -60,6 +61,7 @@ class FFN(nn.Module):
     d_ffn: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -68,7 +70,7 @@ class FFN(nn.Module):
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x + y)
+        return layer_norm(self.dtype, self.fast_norm, "norm")(x + y)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -80,7 +82,9 @@ class DeformableEncoderLayer(nn.Module):
     dropout: float = 0.0
     msda_impl: str = "xla"
     msda_bh_mode: str = "auto"
+    msda_table_mode: str = "slice"
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -95,12 +99,13 @@ class DeformableEncoderLayer(nn.Module):
         attn_out = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             impl=self.msda_impl, bh_mode=self.msda_bh_mode,
+            table_mode=self.msda_table_mode,
             dtype=self.dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, padding_mask)
         attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
-        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
+        src = layer_norm(self.dtype, self.fast_norm, "norm1")(src + attn_out)
         return FFN(self.d_model, self.d_ffn, self.dropout, self.dtype,
-                   name="ffn")(src, deterministic)
+                   self.fast_norm, name="ffn")(src, deterministic)
 
 
 class DeformableDecoderLayer(nn.Module):
@@ -112,7 +117,9 @@ class DeformableDecoderLayer(nn.Module):
     dropout: float = 0.0
     msda_impl: str = "xla"
     msda_bh_mode: str = "auto"
+    msda_table_mode: str = "slice"
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -136,18 +143,19 @@ class DeformableDecoderLayer(nn.Module):
             dropout_rate=self.dropout, deterministic=deterministic,
         )(inputs_q=q, inputs_k=q, inputs_v=tgt, mask=mask)
         sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
-        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + sa)
+        tgt = layer_norm(self.dtype, self.fast_norm, "norm2")(tgt + sa)
 
         # --- deformable cross-attention ('ca') ---
         ca = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             impl=self.msda_impl, bh_mode=self.msda_bh_mode,
+            table_mode=self.msda_table_mode,
             dtype=self.dtype, name="cross_attn",
         )(tgt + query_pos, reference_points, memory, spatial_shapes,
           memory_padding_mask)
         ca = nn.Dropout(self.dropout, deterministic=deterministic)(ca)
-        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + ca)
+        tgt = layer_norm(self.dtype, self.fast_norm, "norm1")(tgt + ca)
 
         # --- ffn ---
         return FFN(self.d_model, self.d_ffn, self.dropout, self.dtype,
-                   name="ffn")(tgt, deterministic)
+                   self.fast_norm, name="ffn")(tgt, deterministic)

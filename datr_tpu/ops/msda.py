@@ -108,13 +108,54 @@ def _corner_gather_indices(
     return indices, weights
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes", "bh_mode"))
+def _quad_tables_conv(value, spatial_shapes):
+    """Quad corner tables via a 2x2 patch-extraction convolution.
+
+    One identity-kernel conv per level writes the packed table in a SINGLE
+    materialization on the MXU (the shifted-slice build chains pad+concat
+    ops that XLA materializes several times). Table rows are indexed by
+    (y0+1) * (w+1) + (x0+1) on the (h+1, w+1) window grid.
+
+    Returns (quad_all [B*H, rows, 4D], row_offsets, grid_strides).
+    """
+    B, S, H, D = value.shape
+    value_bh = jnp.swapaxes(value, 1, 2)  # [B, H, S, D]
+    kernel = np.zeros((2, 2, D, 4 * D), value.dtype)
+    for corner, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        for c in range(D):
+            kernel[dy, dx, c, corner * D + c] = 1.0
+    kernel = jnp.asarray(kernel)
+
+    tables = []
+    row_offsets = []
+    total = 0
+    start = 0
+    for (h, w) in spatial_shapes:
+        hw = h * w
+        grid = value_bh[:, :, start : start + hw].reshape(B * H, h, w, D)
+        start += hw
+        vp = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        quad = jax.lax.conv_general_dilated(
+            vp, kernel, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=value.dtype,
+        )  # [B*H, h+1, w+1, 4D]
+        tables.append(quad.reshape(B * H, (h + 1) * (w + 1), 4 * D))
+        row_offsets.append(total)
+        total += (h + 1) * (w + 1)
+    return jnp.concatenate(tables, axis=1), row_offsets
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spatial_shapes", "bh_mode",
+                                    "table_mode"))
 def ms_deform_attn_quad(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     bh_mode: str = "auto",
+    table_mode: str = "slice",  # 'slice' | 'conv'
 ) -> jnp.ndarray:
     """Quad-packed gather formulation — the fast TPU path for D == 32.
 
@@ -144,33 +185,36 @@ def ms_deform_attn_quad(
     loc = sampling_locations.astype(jnp.float32)
 
     # ---- build the packed corner tables, all levels concatenated ----
-    tables = []
-    row_offsets = []
-    start = 0
-    total_rows = 0
-    for (h, w) in spatial_shapes:
-        hw = h * w
-        v_l = jnp.swapaxes(value[:, start : start + hw], 1, 2)  # [B,H,hw,D]
-        start += hw
-        # base index range (clamped): y0 in [-1, h-1], x0 in [-1, w-1]
-        # -> flat + (w+1) in [0, hw + w]; slices need v_pad len hw + 2w + 2.
-        n_pack = hw + w + 1
-        v_pad = jnp.pad(v_l, ((0, 0), (0, 0), (w + 1, w + 1), (0, 0)))
-        quad = jnp.concatenate(
-            [
-                v_pad[:, :, 0:n_pack],
-                v_pad[:, :, 1 : n_pack + 1],
-                v_pad[:, :, w : n_pack + w],
-                v_pad[:, :, w + 1 : n_pack + w + 1],
-            ],
-            axis=-1,
-        )  # [B, H, n_pack, 4D]
-        tables.append(quad)
-        row_offsets.append(total_rows)
-        total_rows += n_pack
-    quad_all = jnp.concatenate(tables, axis=2).reshape(
-        B * H, total_rows, 4 * D
-    )
+    if table_mode == "conv":
+        quad_all, row_offsets = _quad_tables_conv(value, spatial_shapes)
+    else:
+        tables = []
+        row_offsets = []
+        start = 0
+        total_rows = 0
+        for (h, w) in spatial_shapes:
+            hw = h * w
+            v_l = jnp.swapaxes(value[:, start : start + hw], 1, 2)
+            start += hw
+            # base index range (clamped): y0 in [-1, h-1], x0 in [-1, w-1]
+            # -> flat + (w+1) in [0, hw+w]; slices need v_pad len hw+2w+2.
+            n_pack = hw + w + 1
+            v_pad = jnp.pad(v_l, ((0, 0), (0, 0), (w + 1, w + 1), (0, 0)))
+            quad = jnp.concatenate(
+                [
+                    v_pad[:, :, 0:n_pack],
+                    v_pad[:, :, 1 : n_pack + 1],
+                    v_pad[:, :, w : n_pack + w],
+                    v_pad[:, :, w + 1 : n_pack + w + 1],
+                ],
+                axis=-1,
+            )  # [B, H, n_pack, 4D]
+            tables.append(quad)
+            row_offsets.append(total_rows)
+            total_rows += n_pack
+        quad_all = jnp.concatenate(tables, axis=2).reshape(
+            B * H, total_rows, 4 * D
+        )
 
     # ---- indices + corner weights, computed in (b, h)-major layout ----
     # Transposing the small raw inputs once (loc 2 lanes, attn 1 lane) and
@@ -209,12 +253,16 @@ def ms_deform_attn_quad(
                .astype(value.dtype) * a_)
         w11 = (jnp.where(vx1 & vy1, fx * fy, 0.0)
                .astype(value.dtype) * a_)
-        bases.append(
-            jnp.clip(y0i, -1, h - 1) * w
-            + jnp.clip(x0i, -1, w - 1)
-            + (w + 1)
-            + row_offsets[lvl]
-        )  # [B*H, Lq, P]
+        if table_mode == "conv":
+            # conv tables index the (h+1, w+1) window grid
+            base = ((jnp.clip(y0i, -1, h - 1) + 1) * (w + 1)
+                    + jnp.clip(x0i, -1, w - 1) + 1 + row_offsets[lvl])
+        else:
+            base = (jnp.clip(y0i, -1, h - 1) * w
+                    + jnp.clip(x0i, -1, w - 1)
+                    + (w + 1)
+                    + row_offsets[lvl])
+        bases.append(base)  # [B*H, Lq, P]
         corner_ws.append(jnp.stack([w00, w01, w10, w11], axis=-1))
 
     idx = jnp.stack(bases, axis=2).reshape(B * H, Lq * L * P)
@@ -325,6 +373,7 @@ def ms_deform_attn(
     attention_weights: jnp.ndarray,
     impl: str = "xla",
     bh_mode: str = "auto",
+    table_mode: str = "slice",
 ) -> jnp.ndarray:
     """Dispatching entry point (reference: ops/src/ms_deform_attn.h:21-62)."""
     shapes = tuple(map(tuple, spatial_shapes))
@@ -332,7 +381,7 @@ def ms_deform_attn(
         if 4 * value.shape[-1] == 128:
             return ms_deform_attn_quad(
                 value, shapes, sampling_locations, attention_weights,
-                bh_mode=bh_mode,
+                bh_mode=bh_mode, table_mode=table_mode,
             )
         return ms_deform_attn_xla(
             value, shapes, sampling_locations, attention_weights

@@ -25,14 +25,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
-              devices=None) -> Mesh:
+              devices=None, sp: int = 1) -> Mesh:
+    """Mesh('data', 'seq', 'model'): batch DP x encoder-sequence SP x
+    Megatron TP. 'seq' shards the encoder's flattened ~22k-token query axis
+    (DINO(sp_axis='seq')) — the per-chip MSDA gather row count, the measured
+    single-chip wall (ROADMAP.md), drops by the sp factor."""
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-    arr = np.asarray(devices).reshape(n // tp, tp)
-    return Mesh(arr, ("data", "model"))
+    assert n % (tp * sp) == 0, f"{n} devices not divisible by tp*sp={tp*sp}"
+    arr = np.asarray(devices).reshape(n // (tp * sp), sp, tp)
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 # --- tensor-parallel rules -------------------------------------------------

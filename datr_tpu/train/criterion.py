@@ -111,10 +111,10 @@ def detection_losses(
     }
 
 
-def match_and_losses(
-    logits, boxes, gt_labels, gt_boxes, gt_valid, num_boxes,
-    cfg: CriterionCfg, img_mask=None,
-):
+def compute_assign(
+    logits, boxes, gt_labels, gt_boxes, gt_valid, cfg: CriterionCfg
+) -> jnp.ndarray:
+    """Hungarian/minsum matching only: assign [B, T] query per target."""
     if cfg.matcher_type == "SimpleMinsumMatcher":
         from ..ops.matcher import detr_matching_cost, minsum_match
 
@@ -124,19 +124,26 @@ def match_and_losses(
                 cfg.cost_giou, cfg.focal_alpha,
             ))
 
-        assign = jax.vmap(per_image)(
+        return jax.vmap(per_image)(
             jax.lax.stop_gradient(logits.astype(jnp.float32)),
             jax.lax.stop_gradient(boxes.astype(jnp.float32)),
             gt_labels, gt_boxes, gt_valid,
         )
-    else:
-        assign = batch_match(
-            jax.lax.stop_gradient(logits.astype(jnp.float32)),
-            jax.lax.stop_gradient(boxes.astype(jnp.float32)),
-            gt_labels, gt_boxes, gt_valid,
-            cost_class=cfg.cost_class, cost_bbox=cfg.cost_bbox,
-            cost_giou=cfg.cost_giou, focal_alpha=cfg.focal_alpha,
-        )
+    return batch_match(
+        jax.lax.stop_gradient(logits.astype(jnp.float32)),
+        jax.lax.stop_gradient(boxes.astype(jnp.float32)),
+        gt_labels, gt_boxes, gt_valid,
+        cost_class=cfg.cost_class, cost_bbox=cfg.cost_bbox,
+        cost_giou=cfg.cost_giou, focal_alpha=cfg.focal_alpha,
+    )
+
+
+def match_and_losses(
+    logits, boxes, gt_labels, gt_boxes, gt_valid, num_boxes,
+    cfg: CriterionCfg, img_mask=None,
+):
+    assign = compute_assign(logits, boxes, gt_labels, gt_boxes, gt_valid,
+                            cfg)
     return detection_losses(
         logits, boxes, gt_labels, gt_boxes, gt_valid, assign, num_boxes,
         cfg.focal_alpha, img_mask,
@@ -264,6 +271,7 @@ def criterion(
     target_domain: bool = False,
     num_boxes: jnp.ndarray | None = None,
     img_mask: jnp.ndarray | None = None,
+    gt_masks: jnp.ndarray | None = None,  # [B, T, Hm, Wm] binary
 ) -> Dict[str, jnp.ndarray]:
     """Compute every loss for one domain's outputs.
 
@@ -271,6 +279,8 @@ def criterion(
     (self-training) domain pass target_domain=True and the *_target keys are
     read (reference renames them, dino.py:739-746); DN/DA are skipped there.
     img_mask [B] excludes whole images (zero-pseudo-label images).
+    gt_masks + outputs['pred_masks'] enable the segmentation term
+    (final layer only — reference skips aux/interm masks, dino.py:836-907).
     """
     sfx = "_target" if target_domain else ""
     if img_mask is not None:
@@ -287,6 +297,20 @@ def criterion(
             gt_labels, gt_boxes, gt_valid, num_boxes, cfg, img_mask,
         )
     )
+
+    # segmentation masks (reference loss_masks, dino.py:576-604; final
+    # layer only — aux/interm masks are skipped as "too costly")
+    if gt_masks is not None and ("pred_masks" + sfx) in outputs:
+        from ..models.segmentation import loss_masks as _loss_masks
+
+        assign = compute_assign(
+            outputs["pred_logits" + sfx], outputs["pred_boxes" + sfx],
+            gt_labels, gt_boxes, gt_valid, cfg,
+        )
+        losses.update(_loss_masks(
+            outputs["pred_masks" + sfx], gt_masks, gt_valid, assign,
+            num_boxes,
+        ))
 
     # aux layers — vmap over the stacked layer axis (dino.py:824-845)
     aux_logits = outputs["aux_logits" + sfx]
@@ -351,13 +375,19 @@ def build_weight_dict(
     interm_loss_coef: float = 1.0,
     no_interm_box_loss: bool = False,
     use_dn: bool = True,
+    masks: bool = False,
+    mask_loss_coef: float = 1.0,
+    dice_loss_coef: float = 1.0,
 ) -> Dict[str, float]:
-    """Reference: dino.py:1071-1127."""
+    """Reference: dino.py:1071-1127 (mask coefs :1099-1101)."""
     w = {
         "loss_ce": cls_loss_coef,
         "loss_bbox": bbox_loss_coef,
         "loss_giou": giou_loss_coef,
     }
+    if masks:
+        w["loss_mask"] = mask_loss_coef
+        w["loss_dice"] = dice_loss_coef
     base = dict(w)
     w["loss_backbone_DA"] = da_backbone_loss_coef
     w["loss_proto_DA"] = da_proto_loss_coef

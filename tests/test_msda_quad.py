@@ -49,6 +49,19 @@ def test_quad_gradients_match_generic():
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize("loc_scale", [1.0, 1.6])
+def test_conv_table_mode_matches_slice(loc_scale):
+    """table_mode='conv' (2x2 patch-extraction conv build, measured 12.42
+    vs 12.93 img/s for 'slice' on v5e — kept as a documented alternative)
+    computes the same function, including clamped out-of-range corners."""
+    value, loc, attn = _inputs(loc_scale, seed=3)
+    a = np.asarray(ms_deform_attn_quad(value, SHAPES, loc, attn,
+                                       table_mode="slice"))
+    b = np.asarray(ms_deform_attn_quad(value, SHAPES, loc, attn,
+                                       table_mode="conv"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("big_lq", [False, True])
 def test_flat_bh_mode_matches_auto(big_lq):
     """bh_mode='flat' (the TP-partitionable batched gather) computes the

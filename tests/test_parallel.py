@@ -116,3 +116,36 @@ def test_dp_tp_step_matches_single_device():
         np.asarray(jax.device_get(s_sharded.global_proto)),
         atol=1e-4,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sp_forward_matches_single_device():
+    """Sequence parallelism (DINO.sp_axis='seq' over Mesh('data','seq',
+    'model')): the encoder token axis is sharded, MSDA gather rows/chip drop
+    by sp — outputs must match the unsharded model exactly (same params)."""
+    from datr_tpu.models.dino import DINO
+
+    kw = dict(num_classes=3, num_queries=8, hidden_dim=32, nheads=2,
+              enc_layers=2, dec_layers=1, dim_feedforward=64,
+              dn_number=0, use_remat=False)
+    model = DINO(**kw)
+    model_sp = DINO(**kw, sp_axis="seq")
+
+    B = 2
+    images = jax.random.uniform(jax.random.PRNGKey(3), (B, 64, 96, 3))
+    pad = jnp.zeros((B, 64, 96), bool)
+    pad = pad.at[:, :, 80:].set(True)  # exercise masked positions too
+    params = model.init(jax.random.PRNGKey(0), images, pad, train=False)
+
+    ref = model.apply(params, images, pad, train=False)
+
+    mesh = make_mesh(8, tp=2, sp=2)
+    fwd = jax.jit(lambda p, x, m: model_sp.apply(p, x, m, train=False))
+    with mesh:
+        out = fwd(params, shard_batch(images, mesh),
+                  shard_batch(pad, mesh))
+    for k in ("pred_logits", "pred_boxes", "interm_logits"):
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(jax.device_get(out[k])),
+            atol=2e-5, rtol=2e-4, err_msg=k,
+        )
