@@ -252,6 +252,12 @@ def main(args):
     best = BestTracker(args.output_dir,
                        initial_best=resume_meta.get("best"),
                        write_enabled=is_main)
+    # optional TensorBoard mirror of the log.txt scalars (utils/tb.py);
+    # enabled by config key, never a hard dependency
+    from .utils.tb import ScalarWriter
+
+    tb = ScalarWriter(os.path.join(args.output_dir, "tb"),
+                      enabled=is_main and bool(cfg.get("use_tensorboard")))
     burn_epochs = cfg.get("burn_epochs", cfg.epochs)
     thresholds = np.full((cfg.num_classes,),
                          cfg.get("pseudo_label_threshold", 0.3), np.float32)
@@ -367,7 +373,9 @@ def main(args):
             )
             with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(log_line) + "\n")
+            tb.write(epoch, log_line)
         logger.info(json.dumps(log_line))
+    tb.close()
 
 
 if __name__ == "__main__":

@@ -84,6 +84,42 @@ def save_checkpoint(path: str, state: Any, epoch: int,
         _write_meta(path, meta)
 
 
+def save_checkpoint_sharded(path: str, state: Any, epoch: int,
+                            extra: Optional[dict] = None):
+    """Save a mesh-sharded state WITHOUT gathering it to one host.
+
+    For models whose TrainState exceeds host/chip memory (FSDP-sharded over
+    Mesh 'data', parallel/mesh.py:shard_train_state(fsdp=True)), the leaves
+    are passed to orbax as live sharded jax.Arrays: every process writes
+    only its own shards. The reference's torch.save (main.py:395-412) has no
+    equivalent — DDP replicates, rank 0 serializes the full model.
+    """
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _ckptr().save(path, state, force=True)
+    if jax.process_index() == 0:
+        _write_meta(path, {"epoch": epoch, **(extra or {})})
+
+
+def load_checkpoint_sharded(path: str, target: Any):
+    """Restore directly into the target's shardings (no host round-trip).
+
+    `target` is a sharded state (e.g. freshly shard_train_state'd): each
+    leaf is restored distributed, laid out per its NamedSharding — works
+    across mesh-layout changes (save on dp4xtp2, restore on dp2xtp4).
+    """
+    wait_for_async_saves()
+    path = os.path.abspath(path)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    state = _ckptr().restore(path, item=target, restore_args=restore_args)
+    meta = {}
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
 def update_checkpoint_meta(path: str, extra: dict):
     """Merge fields into a checkpoint's meta.json after the fact (used to
     record the BestTracker state, which is only known after the post-save

@@ -119,6 +119,118 @@ def test_dp_tp_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_fsdp_shards_params_and_moments():
+    """ZeRO-3: params, EMA trees AND optimizer moments sharded over 'data'
+    (largest free dim), composing with the TP rules; small leaves stay
+    replicated at the default threshold."""
+    from datr_tpu.models.dino import DINO
+    from datr_tpu.parallel.mesh import FSDP_MIN_SIZE
+    from datr_tpu.train.optim import make_optimizer
+    from datr_tpu.train.state import create_train_state
+
+    mesh = make_mesh(8, tp=2)  # data=4 x model=2
+    model = DINO(num_classes=3, num_queries=8, hidden_dim=32, nheads=2,
+                 enc_layers=1, dec_layers=1, dim_feedforward=64,
+                 dn_number=2, dn_single_pad=2, dn_labelbook_size=3,
+                 use_remat=False)
+    x = jnp.zeros((1, 32, 32, 3))
+    m = jnp.zeros((1, 32, 32), bool)
+    params = model.init(jax.random.PRNGKey(0), x, m, train=False)
+
+    tree = param_sharding_tree(params, mesh, fsdp=True, fsdp_min_size=0)
+    t = tree["params"]
+    # TP spec (None,'model') on [32,64] + FSDP on the free axis 0
+    assert tuple(t["enc_layer0"]["ffn"]["linear1"]["kernel"].spec) == \
+        ("data", "model")
+    # replicated conv kernel [7,7,3,64]: FSDP picks the largest free dim
+    assert tuple(t["backbone"]["conv1"]["kernel"].spec) == \
+        (None, None, None, "data")
+    # at the default threshold the tiny-model leaves stay replicated
+    tree_thr = param_sharding_tree(params, mesh, fsdp=True)
+    small = tree_thr["params"]["enc_layer0"]["ffn"]["linear1"]["kernel"]
+    assert "data" not in tuple(small.spec)
+    assert FSDP_MIN_SIZE > 32 * 64
+
+    # full state: optimizer moments follow the param shardings
+    tx = make_optimizer(params)
+    st = create_train_state(params, tx, 3, 32, jax.random.PRNGKey(2))
+    with mesh:
+        sst = shard_train_state(st, mesh, fsdp=True, fsdp_min_size=0)
+    k_param = sst.params["params"]["enc_layer0"]["ffn"]["linear1"]["kernel"]
+    assert "data" in tuple(k_param.sharding.spec)
+    # per-device shard is smaller than the global leaf (memory actually
+    # drops — the ZeRO point)
+    shard_shape = k_param.sharding.shard_shape(k_param.shape)
+    assert np.prod(shard_shape) < np.prod(k_param.shape)
+    # find the matching adam moment leaf and check it is sharded too
+    moment_specs = [
+        tuple(l.sharding.spec)
+        for l in jax.tree.leaves(sst.opt_state)
+        if hasattr(l, "sharding") and l.ndim == 2 and l.shape == (32, 64)
+    ]
+    assert moment_specs and all("data" in s for s in moment_specs)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
+def test_fsdp_step_matches_single_device():
+    """ZeRO-3 sharded training step must be numerically identical to the
+    single-device step (XLA all-gathers params, reduce-scatters grads)."""
+    from datr_tpu.models.dino import DINO
+    from datr_tpu.train.criterion import CriterionCfg, build_weight_dict
+    from datr_tpu.train.optim import make_optimizer
+    from datr_tpu.train.state import create_train_state
+    from datr_tpu.train.steps import train_step_burnin
+
+    K, HD = 3, 32
+    model = DINO(num_classes=K, num_queries=8, hidden_dim=HD, nheads=2,
+                 enc_layers=1, dec_layers=1, dim_feedforward=64,
+                 dn_number=2, dn_single_pad=2, dn_labelbook_size=K,
+                 use_remat=False)
+    B = 8
+    images = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    pad_mask = jnp.zeros((B, 32, 32), bool)
+    targets = dict(
+        boxes=jnp.tile(jnp.array([[0.5, 0.5, 0.3, 0.3]]), (B // 2, 2, 1)),
+        labels=jnp.ones((B // 2, 2), jnp.int32),
+        valid=jnp.ones((B // 2, 2), bool),
+    )
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask,
+                        targets=targets, dn_rng=jax.random.PRNGKey(1),
+                        train=True, global_proto=jnp.zeros((K, HD)),
+                        amount=jnp.zeros((K,)))
+    tx = make_optimizer(params)
+    ccfg = CriterionCfg(num_classes=K, dn_single_pad=2, dn_groups=1)
+    wd = build_weight_dict(dec_layers=1)
+    batch = dict(images=images, pad_mask=pad_mask, **targets)
+
+    st0 = create_train_state(params, tx, K, HD, jax.random.PRNGKey(2))
+    s_single, m_single = train_step_burnin(
+        jax.tree.map(jnp.copy, st0), batch, model, tx, ccfg, wd
+    )
+
+    mesh = make_mesh(8, tp=2)
+    with mesh:
+        st = shard_train_state(jax.tree.map(jnp.copy, st0), mesh,
+                               fsdp=True, fsdp_min_size=0)
+        sb = shard_batch(batch, mesh)
+        s_sharded, m_sharded = train_step_burnin(st, sb, model, tx, ccfg,
+                                                 wd)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=2e-3
+    )
+    flat_a = jax.tree_util.tree_flatten_with_path(s_single.params)[0]
+    flat_b = jax.tree_util.tree_leaves(jax.device_get(s_sharded.params))
+    for (kp, a), b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-5, rtol=5e-3,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(kp)}",
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sp_forward_matches_single_device():
     """Sequence parallelism (DINO.sp_axis='seq' over Mesh('data','seq',
     'model')): the encoder token axis is sharded, MSDA gather rows/chip drop
