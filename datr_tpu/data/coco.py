@@ -99,6 +99,37 @@ class CocoDetectionDataset:
         }
 
 
+class ConcatDetectionDataset:
+    """Concatenation of COCO-format shards presented as one dataset
+    (capability of the reference's `build_o365_combine` dispatch branch,
+    datasets/__init__.py:29-31 — the module it imports is absent upstream,
+    so the semantics are reconstructed from the name: several annotation
+    shards over one or more image roots served as a single index)."""
+
+    def __init__(self, parts: List[CocoDetectionDataset]):
+        assert parts, "ConcatDetectionDataset needs at least one shard"
+        self.parts = parts
+        self._cum = np.cumsum([len(p) for p in parts])
+
+    def __len__(self):
+        return int(self._cum[-1])
+
+    def _locate(self, i: int):
+        p = int(np.searchsorted(self._cum, i, side="right"))
+        prev = 0 if p == 0 else int(self._cum[p - 1])
+        return self.parts[p], i - prev
+
+    def load(self, i: int):
+        part, j = self._locate(i)
+        return part.load(j)
+
+    def eval_annotations(self, image_id: int):
+        for p in self.parts:
+            if image_id in p.index.anns_by_image:
+                return p.eval_annotations(image_id)
+        raise KeyError(image_id)
+
+
 class DAPairedDataset:
     """Zip of source + target datasets with modulo indexing, len = max
     (DADataset, DAcoco.py:647-670). Returns (src_img, src_strong, src_tgt,
@@ -156,6 +187,30 @@ def build_coco_panoptic(image_set: str, root: str):
     )
 
 
+def build_o365_combine(image_set: str, root: str):
+    """Objects365-style sharded layout: <root>/<split>/images plus EITHER a
+    single annotations.json or several annotations*.json shards combined
+    into one dataset (reference dispatch name 'o365',
+    datasets/__init__.py:29-31; its o365.py module is absent upstream — the
+    shard-combine semantics its `build_o365_combine` name promises are
+    provided here)."""
+    import glob
+
+    split = "train" if image_set == "train" else "val"
+    d = os.path.join(root, split)
+    shards = sorted(glob.glob(os.path.join(d, "annotations*.json")))
+    if not shards:
+        raise FileNotFoundError(
+            f"no annotations*.json under {d} (o365 layout)"
+        )
+    parts = [
+        CocoDetectionDataset(os.path.join(d, "images"), s) for s in shards
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return ConcatDetectionDataset(parts)
+
+
 def build_dataset(
     image_set: str,
     dataset_file: str,
@@ -171,6 +226,7 @@ def build_dataset(
 
       'coco'          classic COCO-2017 tree (build_coco_classic)
       'coco_panoptic' panoptic tree (build_coco_panoptic)
+      'o365'          sharded-annotations tree (build_o365_combine)
       any other name  <data_root>/<name>/ with either
                         source/{images,annotations.json}     (paired DA;
                         target/{images,annotations.json}      covers
@@ -186,6 +242,9 @@ def build_dataset(
     if dataset_file == "coco_panoptic":
         return build_coco_panoptic(image_set,
                                    os.path.join(data_root, "coco"))
+    if dataset_file == "o365":
+        return build_o365_combine(image_set,
+                                  os.path.join(data_root, "o365"))
     d = os.path.join(data_root, dataset_file)
     single_domain = (
         not os.path.isdir(os.path.join(d, "source"))

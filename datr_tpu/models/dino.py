@@ -343,16 +343,25 @@ class DINO(nn.Module):
         dn_bbox_unsig: Optional[jnp.ndarray],  # [B, pad, 4]
         self_attn_mask: Optional[jnp.ndarray],  # [N, N] True=attend
         deterministic: bool,
+        encoder_fn=None,
     ):
         B = src_flat.shape[0]
         # --- encoder ---
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
-        memory = self._sp_constraint(src_flat)
-        for layer in self.encoder:
-            memory = self._sp_constraint(
-                layer(memory, pos_flat, enc_ref, spatial_shapes,
-                      mask_flat, deterministic)
-            )
+        if encoder_fn is not None:
+            # externally orchestrated encoder stack (pipeline parallelism:
+            # parallel/pipeline.py make_pp_encoder_fn) — layer params are
+            # consumed via the stacked copies the closure holds, so the
+            # in-scope enc_layer{i} submodules are intentionally unused
+            memory = encoder_fn(src_flat, pos_flat, enc_ref, mask_flat,
+                                spatial_shapes)
+        else:
+            memory = self._sp_constraint(src_flat)
+            for layer in self.encoder:
+                memory = self._sp_constraint(
+                    layer(memory, pos_flat, enc_ref, spatial_shapes,
+                          mask_flat, deterministic)
+                )
         # two-stage top-k and the decoder's MSDA tables need the full
         # sequence: replicate once here (a single all-gather over 'seq')
         memory = self._sp_constraint(memory, replicate=True)
@@ -463,6 +472,8 @@ class DINO(nn.Module):
         domain_adapt: bool = True,  # False: single-domain supervised
         # training over the FULL batch, no DA branch (plain-DINO
         # pretraining; reference datasets/coco.py:611-640 path)
+        encoder_fn=None,  # pipeline-parallel encoder override
+        # (parallel/pipeline.py:make_pp_encoder_fn); None = in-module stack
     ):
         srcs, masks, poss, stage_feats = self._extract_features(
             images, pad_mask
@@ -480,6 +491,7 @@ class DINO(nn.Module):
                 self._transformer_pass(
                     src_flat, mask_flat, pos_flat, valid_ratios,
                     spatial_shapes, None, None, None, True,
+                    encoder_fn=encoder_fn,
                 )
             )
             logits, coords = self._head_outputs(hs, refs)
@@ -536,6 +548,7 @@ class DINO(nn.Module):
                 first_half(src_flat), first_half(mask_flat),
                 first_half(pos_flat), first_half(valid_ratios),
                 spatial_shapes, dn_embed, dn_bbox, attn_mask, deterministic,
+                encoder_fn=encoder_fn,
             )
         )
         logits_all, coords_all = self._head_outputs(hs, refs)
@@ -583,6 +596,7 @@ class DINO(nn.Module):
                 second_half(src_flat), second_half(mask_flat),
                 second_half(pos_flat), second_half(valid_ratios),
                 spatial_shapes, None, None, None, deterministic,
+                encoder_fn=encoder_fn,
             )
         )
         logits_t_last = self.class_head(hs_t[-1])

@@ -33,7 +33,8 @@ def _split_rng(state: TrainState):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model", "tx", "ccfg", "ema_decay"),
+                   static_argnames=("model", "tx", "ccfg", "ema_decay",
+                                    "pp_mesh", "pp_n_micro", "pp_dp_axis"),
                    donate_argnums=(0,))
 def train_step_burnin(
     state: TrainState,
@@ -43,15 +44,29 @@ def train_step_burnin(
     ccfg: CriterionCfg,
     weight_dict: Dict[str, float],
     ema_decay: float = 0.0,  # --use_ema per-step ModelEma (main.py:149-152)
+    pp_mesh=None,  # pipeline parallelism over pp_mesh's 'pipe' axis:
+    pp_n_micro: int = 0,  # GPipe microbatches (parallel/pipeline.py);
+    pp_dp_axis=None,  # optional data axis the microbatch batch dim shards on
 ):
     rng, dn_rng = _split_rng(state)
 
     def loss_fn(params):
+        encoder_fn = None
+        if pp_n_micro:
+            from ..parallel.pipeline import make_pp_encoder_fn
+
+            # built INSIDE loss_fn so the stacked layer copies are traced
+            # from the differentiated params (grads reach enc_layer{i})
+            encoder_fn = make_pp_encoder_fn(
+                model, params, mesh=pp_mesh, n_micro=pp_n_micro,
+                dp_axis=pp_dp_axis,
+            )
         out = model.apply(
             params, batch["images"], batch["pad_mask"],
             targets={k: batch[k] for k in ("boxes", "labels", "valid")},
             dn_rng=dn_rng, train=True, self_training=False,
             global_proto=state.global_proto, amount=state.amount,
+            encoder_fn=encoder_fn,
         )
         losses = criterion(out, batch["labels"], batch["boxes"],
                            batch["valid"], ccfg)

@@ -110,3 +110,48 @@ def test_panoptic_dispatch(tmp_path):
     ann = ds.eval_annotations(0)
     assert len(ann["boxes"]) == 2
     assert ann["areas"].tolist() == [120.0, 64.0]
+
+
+def _write_o365(root, shards=(2, 3)):
+    d = os.path.join(root, "o365")
+    for split in ("train", "val"):
+        os.makedirs(os.path.join(d, split, "images"), exist_ok=True)
+        next_id = 0
+        for s, n in enumerate(shards):
+            images, anns = [], []
+            for _ in range(n):
+                i = next_id
+                next_id += 1
+                name = f"{i:08d}.jpg"
+                Image.new("RGB", (40, 30), (10 * s, 20, 30)).save(
+                    os.path.join(d, split, "images", name))
+                images.append({"id": i, "file_name": name,
+                               "width": 40, "height": 30})
+                anns.append({"id": i * 10, "image_id": i, "category_id": s + 1,
+                             "bbox": [2, 2, 10, 8], "area": 80, "iscrowd": 0})
+            with open(os.path.join(d, split,
+                                   f"annotations_{s}.json"), "w") as f:
+                json.dump({"images": images, "annotations": anns,
+                           "categories": [{"id": s + 1, "name": f"c{s}"}]},
+                          f)
+
+
+def test_o365_combine_dispatch(tmp_path):
+    """Sharded-annotations combine ('o365' dispatch name,
+    datasets/__init__.py:29-31): shards serve as one contiguous index and
+    eval_annotations routes by image id across shards."""
+    root = str(tmp_path)
+    _write_o365(root)
+    train = build_dataset("train", "o365", root)
+    assert len(train) == 5  # 2 + 3 across shards
+    # boundary indices hit the right shard
+    img0, tgt0 = train.load(0)
+    img4, tgt4 = train.load(4)
+    assert tgt0["labels"][0] == 1 and tgt4["labels"][0] == 2
+    assert img0.size == (40, 30)
+    np.testing.assert_array_equal(tgt4["boxes"][0], [2, 2, 12, 10])
+    # eval GT lookup crosses shard boundaries by image id
+    ann = train.eval_annotations(3)
+    assert ann["labels"][0] == 2 and ann["areas"][0] == 80.0
+    val = build_dataset("val", "o365", root)
+    assert len(val) == 5
