@@ -147,13 +147,15 @@ class DAPairedDataset:
     def load(self, i: int, rng: random.Random, strong: bool = True):
         s_img, s_tgt = self.source.load(i % len(self.source))
         t_img, t_tgt = self.target.load(i % len(self.target))
-        # strong view: photometric only, target-domain (and source twin kept
-        # identical — the reference also strong-augments the source twin in
-        # make_coco_strong_transforms pipelines; the student consumes both).
+        # Strong view: photometric only, TARGET domain only. The reference
+        # builds the source dataset with strong_transforms=None
+        # (DAcoco.py:703) and collates the strong batch as
+        # source_weak + target_strong (util/misc.py:297); the source half of
+        # the student's strong input IS the weak source image.
         # `strong=False` skips the work for burn-in epochs, which never
         # consume the strong views (engine.train_one_epoch drops them).
         do_strong = self.strong_aug and strong
-        s_strong = strong_augment(s_img, rng) if do_strong else s_img
+        s_strong = s_img
         t_strong = strong_augment(t_img, rng) if do_strong else t_img
         return s_img, s_strong, s_tgt, t_img, t_strong, t_tgt
 

@@ -39,7 +39,8 @@ def make_da_loader(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches:
       images        [2b, H, W, 3] — first b source (weak), then b target (weak)
-      images_strong [2b, H, W, 3] — strong views, same geometry
+      images_strong [2b, H, W, 3] — [source weak ; target strong], same
+                    geometry (util/misc.py:297 — source has no strong aug)
       pad_mask      [2b, H, W]
       boxes/labels/valid  [b, max_boxes, ...]  (source GT)
       real_sizes    [b, 2] — target-half unpadded (h, w), for pseudo labels
@@ -59,18 +60,20 @@ def make_da_loader(
         s_img, s_strong, s_tgt, t_img, t_strong, t_tgt = dataset.load(
             idx, r, strong=compute_strong
         )
+        # Source strong view == source weak view (util/misc.py:297 collates
+        # source_imgs + target_imgs_strong_aug): never re-run geometry or
+        # canvas padding for the source twin.
+        s_img, _, s_tgt = transform(s_img, None, s_tgt, r)
         if not compute_strong:
-            s_strong = t_strong = None  # skip strong-view geometry too
-        s_img, s_strong, s_tgt = transform(s_img, s_strong, s_tgt, r)
+            t_strong = None  # skip strong-view geometry too
         # the same transform instance re-rolls geometry for the target pair
         t_img, t_strong, t_tgt = transform(t_img, t_strong, t_tgt, r)
         s = finalize_example(s_img, s_tgt, canvas_hw, max_boxes)
         t = finalize_example(t_img, t_tgt, canvas_hw, max_boxes)
         if not compute_strong:
             return s, s, t, t
-        ss = finalize_example(s_strong, None, canvas_hw, max_boxes)
         ts = finalize_example(t_strong, None, canvas_hw, max_boxes)
-        return s, ss, t, ts
+        return s, s, t, ts
 
     def assemble(items):
         s, ss, t, ts = zip(*items)
