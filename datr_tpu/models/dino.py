@@ -634,8 +634,11 @@ def build_dino_from_config(cfg) -> DINO:
     get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: getattr(
         cfg, k, d
     )
-    dtype = jnp.bfloat16 if get("amp_dtype", "float32") == "bfloat16" else (
-        jnp.float32
+    # float64 (with jax_enable_x64) is for numerical-parity debugging: it
+    # drops cross-framework activation noise below top-k score gaps so
+    # selection orders match exactly (tests/test_torch_parity_train.py).
+    dtype = {"bfloat16": jnp.bfloat16, "float64": jnp.float64}.get(
+        get("amp_dtype", "float32"), jnp.float32
     )
     return DINO(
         num_classes=get("num_classes", 91),

@@ -43,6 +43,23 @@ def param_labels(params) -> Any:
     )
 
 
+def zero_frozen(tree):
+    """Zero the leaves of the frozen param group. The reference's frozen
+    params are requires_grad=False, so their .grad is None and
+    torch.nn.utils.clip_grad_norm_(model.parameters(), max_norm)
+    (engine.py:110) skips them — both the clip norm and the logged
+    grad_total_norm are over TRAINABLE grads only. JAX autodiff produces
+    real gradients for every leaf, so parity requires masking them out
+    before any global-norm computation."""
+    import jax
+    import jax.numpy as jnp
+
+    labels = param_labels(tree)
+    return jax.tree.map(
+        lambda g, l: jnp.zeros_like(g) if l == "frozen" else g, tree, labels
+    )
+
+
 def make_optimizer(
     params,
     lr: float = 1e-4,
@@ -84,16 +101,28 @@ def make_optimizer(
 
     sched = make_schedule(lr)
     lr_schedule = sched if callable(sched) else (lambda step: lr)
+    labels = param_labels(params)
     tx = optax.multi_transform(
         {
             "main": adamw(lr),
             "backbone": adamw(lr_backbone),
             "frozen": optax.set_to_zero(),
         },
-        param_labels(params),
+        labels,
     )
     if clip_max_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+        # Zero frozen-group grads BEFORE the clip: the reference's clip norm
+        # is over trainable grads only (clip_grad_norm_ skips grad-None
+        # frozen params, engine.py:110) — including them would deflate every
+        # clipped update.
+        import jax
+
+        frozen_mask = jax.tree.map(lambda lb: lb == "frozen", labels)
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), frozen_mask),
+            optax.clip_by_global_norm(clip_max_norm),
+            tx,
+        )
     if return_schedule:
         return tx, lr_schedule
     return tx

@@ -23,6 +23,7 @@ import optax
 import jax.numpy as jnp
 
 from .criterion import CriterionCfg, criterion, weighted_total
+from .optim import zero_frozen
 from .pseudo import pseudo_labels_from_outputs
 from .state import TrainState
 
@@ -81,7 +82,7 @@ def train_step_burnin(
 
     # pre-clip global grad norm (reference engine.py:93 logs grad_total_norm)
     metrics = {"loss": total, **losses,
-               "grad_norm": optax.global_norm(grads)}
+               "grad_norm": optax.global_norm(zero_frozen(grads))}
     new_state = state.replace(
         params=new_params, opt_state=new_opt, rng=rng,
         global_proto=new_proto, amount=new_amount, step=state.step + 1,
@@ -137,7 +138,7 @@ def train_step_plain(
             model_ema=ema_update(state.model_ema, new_params, ema_decay)
         )
     return new_state, {"loss": total, **losses,
-                       "grad_norm": optax.global_norm(grads)}
+                       "grad_norm": optax.global_norm(zero_frozen(grads))}
 
 
 @functools.partial(
@@ -203,7 +204,7 @@ def train_step_self_training(
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
     metrics = {"loss": total, "num_pseudo": p_valid.sum(),
-               "grad_norm": optax.global_norm(grads)}
+               "grad_norm": optax.global_norm(zero_frozen(grads))}
     metrics.update(src_l)
     metrics.update({f"{k}_target": v for k, v in tgt_l.items()})
     new_state = state.replace(

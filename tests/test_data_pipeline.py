@@ -52,6 +52,22 @@ def test_da_loader_shapes_and_alignment():
     assert (batch["boxes"][v] > 0).all() and (batch["boxes"][v] <= 1).all()
 
 
+def test_strong_batch_source_half_is_weak():
+    """The strong batch is [source weak ; target strong]: the reference
+    builds the source dataset with strong_transforms=None (DAcoco.py:703)
+    and collates source_imgs + target_imgs_strong_aug (util/misc.py:297)."""
+    ds = synthetic_da_pair(n_images=4, hw=(80, 112), num_classes=3)
+    tf = DATrainTransform(scales=[72, 80], max_size=120,
+                          scales2_resize=[64, 72], scales2_crop=[48, 72])
+    batch = next(iter(make_da_loader(ds, 2, CANVAS, tf, max_boxes=8,
+                                     num_threads=1)))
+    b = batch["images"].shape[0] // 2
+    np.testing.assert_array_equal(batch["images_strong"][:b],
+                                  batch["images"][:b])
+    # target halves differ with overwhelming probability (photometric aug)
+    assert np.abs(batch["images_strong"][b:] - batch["images"][b:]).max() > 0
+
+
 def test_eval_loader_tail_padding():
     ds = SyntheticDetectionDataset(5, hw=(80, 112), num_classes=3)
     batches = list(make_eval_loader(ds, 2, CANVAS, EvalTransform(80, 120),

@@ -195,6 +195,50 @@ def test_optimizer_schedules_are_independent():
     assert float(s2(0)) == pytest.approx(5e-3)
 
 
+def test_clip_norm_excludes_frozen_grads():
+    """The clip norm must be over trainable grads only: the reference's
+    clip_grad_norm_(model.parameters(), 0.1) skips grad-None frozen params
+    (engine.py:110, backbone.py:79-81). A huge gradient on a frozen leaf
+    (backbone stem) must not change the clipped update of trainable
+    params, and the logged grad norm must exclude it."""
+    import optax
+
+    from datr_tpu.train.optim import make_optimizer, zero_frozen
+
+    def params_with_stem():
+        return {
+            "backbone": {
+                "conv1": {"kernel": jnp.ones((2, 2))},  # frozen group
+                "layer2_0": {"conv1": {"kernel": jnp.ones((2, 2))}},
+            },
+            "head": {"kernel": jnp.ones((2, 2))},
+        }
+
+    params = params_with_stem()
+    grads = {
+        "backbone": {
+            "conv1": {"kernel": jnp.full((2, 2), 1e6)},  # would dominate
+            "layer2_0": {"conv1": {"kernel": jnp.full((2, 2), 0.5)}},
+        },
+        "head": {"kernel": jnp.full((2, 2), 0.5)},
+    }
+    grads_nofrozen = jax.tree.map(jnp.copy, grads)
+    grads_nofrozen["backbone"]["conv1"]["kernel"] = jnp.zeros((2, 2))
+
+    tx = make_optimizer(params, clip_max_norm=0.1)
+    st = tx.init(params)
+    up_poisoned, _ = tx.update(grads, st, params)
+    st2 = tx.init(params)
+    up_clean, _ = tx.update(grads_nofrozen, st2, params)
+    for a, b in zip(jax.tree.leaves(up_poisoned), jax.tree.leaves(up_clean)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # frozen leaf never updates
+    assert np.all(np.asarray(up_poisoned["backbone"]["conv1"]["kernel"]) == 0)
+    # logged norm excludes the frozen grad
+    n = float(optax.global_norm(zero_frozen(grads)))
+    assert n == pytest.approx(float(np.sqrt(8 * 0.25)), rel=1e-5)
+
+
 def test_eval_step_nms_wiring():
     """nms_iou_threshold>0 must route through postprocess_with_nms and
     suppress duplicate boxes (reference dino.py:989-992,1136)."""

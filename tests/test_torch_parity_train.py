@@ -602,3 +602,187 @@ def test_model_gradient_parity():
     rel_all = float(np.linalg.norm(a - r) / np.linalg.norm(r))
     assert cos_all > 0.99998, cos_all
     assert rel_all < 0.007, rel_all
+
+
+@pytest.fixture
+def x64_mode():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.slow
+def test_optimizer_trajectory_parity(x64_mode):
+    """Multi-step OPTIMIZER parity vs the live reference: identical weights
+    and inputs, three full AdamW steps on each side — torch
+    get_param_dict('default') + AdamW + clip_grad_norm_(0.1)
+    (main.py:162-165, engine.py:110) vs make_optimizer's
+    multi_transform(adamw) chain. Catches any divergence in param grouping,
+    weight-decay placement, bias correction, eps, clipping scope, or
+    frozen-param handling that the single-step gradient test cannot see.
+
+    Runs in float64 on BOTH sides: with random-init weights the two-stage
+    top-k score gaps (~2e-3) are smaller than f32 cross-framework
+    activation noise (~1e-2), so f32 selection ORDERS diverge and the
+    decoders compute different query pairings. In f64 the noise is ~1e-6
+    and the selected orders match exactly."""
+    from types import SimpleNamespace
+
+    reference_stubs.make_msda_differentiable()
+    import models.dino.dino as ref_dino
+    from util.get_param_dicts import get_param_dict
+    from util.misc import NestedTensor
+
+    from convert_checkpoint import convert_checkpoint
+    from datr_tpu.config import load_config
+    from datr_tpu.models.dino import build_dino_from_config
+    from datr_tpu.train.optim import make_optimizer, param_labels
+
+    H, W = 128, 160
+    cfg = dict(load_config(
+        "/root/reference/config/DA/Cityscapes2FoggyCityscapes/"
+        "DINO_4scale_C2F.py"))
+    cfg.setdefault("device", "cpu")
+    # 128x160 gives 426 multi-scale tokens; num_queries must not exceed the
+    # two-stage top-k pool (both sides shrink identically)
+    cfg["num_queries"] = 300
+    torch.manual_seed(0)
+    ns = SimpleNamespace(**cfg)
+    ref_model, ref_crit, _ = ref_dino.build_dino(ns)
+    ref_model.double()
+    ref_model.eval()
+    ref_crit.eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(42)
+        for name, p in ref_model.named_parameters():
+            if "sampling_offsets.bias" in name:
+                p.add_((torch.rand(p.shape, generator=g) * 0.4
+                        - 0.2).double())
+
+    # .copy() is load-bearing: v.numpy() VIEWS the torch parameter storage,
+    # and ref_opt.step() mutates it in place — without the copy, tree0
+    # silently tracks the reference's post-step weights.
+    tree0 = convert_checkpoint(
+        {k: v.numpy().copy() for k, v in ref_model.state_dict().items()}
+    )
+    our_cfg = dict(cfg)
+    our_cfg["use_remat"] = False
+    our_cfg["amp_dtype"] = "float64"
+    model = build_dino_from_config(our_cfg)
+
+    rng = np.random.default_rng(7)
+    img = rng.standard_normal((1, H, W, 3))
+    n_gt = 3
+    gt_boxes = np.concatenate([
+        rng.uniform(0.3, 0.7, (1, n_gt, 2)),
+        rng.uniform(0.1, 0.3, (1, n_gt, 2)),
+    ], -1)
+    gt_labels = rng.integers(0, cfg["num_classes"], (1, n_gt))
+    w = build_weight_dict(dec_layers=cfg["dec_layers"])
+    targets = [{"labels": torch.as_tensor(gt_labels[0]),
+                "boxes": torch.as_tensor(gt_boxes[0], dtype=torch.float64)}]
+
+    # --- optimizers, mirroring each harness exactly ---
+    ref_opt = torch.optim.AdamW(get_param_dict(ns, ref_model),
+                                lr=cfg["lr"],
+                                weight_decay=cfg["weight_decay"])
+    tx = make_optimizer(tree0, lr=cfg["lr"], lr_backbone=cfg["lr_backbone"],
+                        weight_decay=cfg["weight_decay"],
+                        clip_max_norm=cfg["clip_max_norm"])
+    opt_state = tx.init(tree0)
+
+    cc = CriterionCfg(
+        num_classes=cfg["num_classes"], focal_alpha=cfg["focal_alpha"],
+        cost_class=cfg["set_cost_class"], cost_bbox=cfg["set_cost_bbox"],
+        cost_giou=cfg["set_cost_giou"],
+    )
+
+    def loss_fn(params):
+        out = model.apply(params, jnp.asarray(img, jnp.float64),
+                          jnp.zeros((1, H, W), bool), train=False)
+        losses = criterion(
+            out, jnp.asarray(gt_labels.astype(np.int32)),
+            jnp.asarray(gt_boxes, jnp.float64), jnp.ones((1, n_gt), bool),
+            cc,
+        )
+        return weighted_total(losses, w)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    nt = NestedTensor(
+        torch.from_numpy(np.transpose(img, (0, 3, 1, 2))),
+        torch.zeros(1, H, W, dtype=torch.bool),
+    )
+
+    # torch params with grad=None are skipped by AdamW entirely (no weight
+    # decay either); under jax those leaves carry zero grads and adamw's
+    # decoupled decay would still drift them. Unused-in-this-graph leaves
+    # (label_enc, DA heads on the eval forward) are excluded from the
+    # comparison — in real burn-in/self-training every head is live.
+    tree = tree0
+    labels = param_labels(tree0)
+    for step in range(3):
+        ref_opt.zero_grad()
+        ref_out = ref_model(nt)
+        total_ref = sum(w[k] * v
+                        for k, v in ref_crit(ref_out, targets).items()
+                        if k in w)
+        total_ref.backward()
+        torch.nn.utils.clip_grad_norm_(ref_model.parameters(),
+                                       cfg["clip_max_norm"])
+        ref_opt.step()
+
+        total_ours, grads = grad_fn(tree)
+        assert float(total_ours) == pytest.approx(float(total_ref.detach()),
+                                                  rel=1e-5), step
+        updates, opt_state = tx.update(grads, opt_state, tree)
+        tree = jax.tree.map(lambda p, u: p + u, tree, updates)
+
+    has_grad = {n: p.grad is not None
+                for n, p in ref_model.named_parameters()}
+    ref_tree3 = convert_checkpoint(
+        {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    )
+    mask_tree = convert_checkpoint(
+        {k: np.full(v.shape, has_grad.get(k, False))
+         for k, v in ref_model.state_dict().items()}
+    )
+
+    flat0 = dict(jax.tree_util.tree_flatten_with_path(tree0)[0])
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_tree3)[0])
+    flat_ours = dict(
+        jax.tree_util.tree_flatten_with_path(jax.device_get(tree))[0])
+    flat_mask = dict(jax.tree_util.tree_flatten_with_path(mask_tree)[0])
+    flat_labels = dict(jax.tree_util.tree_flatten_with_path(labels)[0])
+
+    d_ours, d_ref, compared = [], [], 0
+    for kp, p0 in flat0.items():
+        key = jax.tree_util.keystr(kp)
+        if flat_labels[kp] == "frozen":
+            # frozen both sides: must not move at all
+            np.testing.assert_array_equal(np.asarray(flat_ours[kp]),
+                                          np.asarray(p0), err_msg=key)
+            continue
+        if not np.asarray(flat_mask[kp]).any():
+            continue  # unused on the eval forward (see note above)
+        du = np.asarray(flat_ours[kp], np.float64) - np.asarray(
+            p0, np.float64)
+        dr = np.asarray(flat_ref[kp], np.float64) - np.asarray(
+            p0, np.float64)
+        d_ours.append(du.ravel())
+        d_ref.append(dr.ravel())
+        compared += 1
+    assert compared > 150, compared
+    a, r = np.concatenate(d_ours), np.concatenate(d_ref)
+    # In f64 the only residual cross-framework noise is the MSDA
+    # FMA-epsilon corner rule on samples that land within ~1e-4 px of a
+    # grid line (ops/msda.py), amplified elementwise by AdamW's per-element
+    # second-moment normalization on near-zero grads. The 3-step
+    # displacement must agree tightly in aggregate and almost everywhere
+    # elementwise.
+    cos = float((a * r).sum() / (np.linalg.norm(a) * np.linalg.norm(r)))
+    rel = float(np.linalg.norm(a - r) / np.linalg.norm(r))
+    assert cos > 0.999, cos
+    assert rel < 0.05, rel
+    scale = np.abs(r).max()
+    frac_close = float((np.abs(a - r) <= 0.01 * scale + 1e-12).mean())
+    assert frac_close > 0.995, frac_close
