@@ -103,7 +103,16 @@ def parse_override(kv: str) -> Dict[str, Any]:
     try:
         val = ast.literal_eval(raw)
     except (ValueError, SyntaxError):
-        val = raw  # plain string
+        # reference DictAction semantics (slconfig.py:425-429): case-
+        # insensitive bool/none words — scripts pass embed_init_tgt=TRUE,
+        # and 'FALSE' must not become a truthy string
+        low = raw.lower()
+        if low in ("true", "false"):
+            val = low == "true"
+        elif low in ("none", "null"):
+            val = None
+        else:
+            val = raw  # plain string
     node: Dict[str, Any] = {}
     cur = node
     parts = key.strip().split(".")

@@ -11,6 +11,7 @@ epoch, CosineEMA decay annealed per epoch), and the NaN abort
 from __future__ import annotations
 
 import math
+import os
 import sys
 from typing import Dict, Iterable, Optional
 
@@ -244,6 +245,44 @@ def evaluate(
             "COCO stats: AP=%.4f AP50=%.4f AP75=%.4f" % tuple(stats[:3])
         )
     return {"coco_eval_bbox": stats, "ap50": stats[1]}
+
+
+def test(params, model, loader: Iterable, output_dir: str,
+         num_select: int = 300, logger=None, print_freq: int = 50):
+    """--test mode (reference engine.py:527-597): dump every detection as a
+    COCO-format record list to <output_dir>/results{rank}.json. Boxes stay
+    cxcywh (PostProcess not_to_xyxy=True, engine.py:572) scaled to original
+    image size; labels are the raw class indices."""
+    import json as _json
+
+    final_res = []
+    ml = MetricLogger(logger=logger)
+    for batch in ml.log_every(loader, print_freq, "Test:"):
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("images", "pad_mask", "orig_sizes")}
+        res = jax.device_get(
+            eval_step(params, arrays, model, num_select=num_select,
+                      not_to_xyxy=True)
+        )
+        for i in range(len(batch["image_ids"])):
+            if not batch["batch_valid"][i]:
+                continue
+            for s, l, b in zip(res["scores"][i], res["labels"][i],
+                               res["boxes"][i]):
+                final_res.append({
+                    "image_id": int(batch["image_ids"][i]),
+                    "category_id": int(l),
+                    "bbox": [float(x) for x in b],
+                    "score": float(s),
+                })
+    if output_dir:
+        path = os.path.join(output_dir,
+                            f"results{jax.process_index()}.json")
+        with open(path, "w") as f:
+            _json.dump(final_res, f)
+        if logger:
+            logger.info(f"wrote {len(final_res)} detections to {path}")
+    return final_res
 
 
 def _merge_across_processes(evaluator, det_records, raw_gt, num_select,

@@ -73,6 +73,22 @@ def get_args_parser():
                    help="dump raw eval gt/pred arrays (engine.py:433-492)")
     p.add_argument("--debug", action="store_true",
                    help="break epochs after a few iters (engine.py:125-128)")
+    # reference-CLI parity flags (reference main.py:38-73)
+    p.add_argument("--dataset_file", default="",
+                   help="override the config's dataset_file")
+    p.add_argument("--note", default="",
+                   help="free-text note recorded in config_args_all.json")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host loader threads (reference DataLoader workers)")
+    p.add_argument("--start_epoch", type=int, default=0,
+                   help="force the starting epoch (e.g. after --resume from "
+                        "a params-only tree)")
+    p.add_argument("--test", action="store_true",
+                   help="dump COCO-format detections to results{rank}.json "
+                        "(reference engine.py:527-597)")
+    p.add_argument("--amp", action="store_true",
+                   help="shorthand for amp_dtype='bfloat16' (reference "
+                        "--amp; bf16 needs no GradScaler on TPU)")
     return p
 
 
@@ -88,6 +104,10 @@ def main(args):
         )
     cfg = load_config(args.config_file)
     cfg = apply_overrides(cfg, args.options)
+    if args.dataset_file:
+        cfg["dataset_file"] = args.dataset_file
+    if args.amp:
+        cfg["amp_dtype"] = "bfloat16"
     # all output_dir writes are gated on process 0 (reference save_on_master /
     # is_main_process, util/misc.py) — state is replicated, so host 0's copy
     # is complete; concurrent orbax writes to a shared dir would corrupt it
@@ -225,6 +245,8 @@ def main(args):
 
         state, start_epoch, resume_meta = load_resume(args.resume, state)
         logger.info(f"resumed from {args.resume} (epoch {start_epoch})")
+    if args.start_epoch:
+        start_epoch = args.start_epoch  # reference main.py:55
 
     # one re-iterable eval loader for the whole run (the reference
     # rebuilds DataLoaders; EvalLoader re-iterates cheaply)
@@ -236,6 +258,16 @@ def main(args):
     # reference dino.py:989-992,1136: PostProcess gets the config's
     # nms_iou_threshold (>0 enables class-aware eval NMS)
     nms_thr = float(cfg.get("nms_iou_threshold") or -1.0)
+
+    if args.test:
+        # reference --test (main.py:59, engine.py:527): dump raw COCO-format
+        # detections instead of computing stats
+        from .engine import test as test_dump
+
+        eval_params = state.model_ema if args.ema else state.params
+        test_dump(eval_params, model, val_loader, args.output_dir,
+                  cfg.num_select, logger)
+        return
 
     if args.eval:
         eval_params = state.model_ema if args.ema else state.params
@@ -278,6 +310,7 @@ def main(args):
             loader = make_single_loader(
                 train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
                 seed=args.seed, epoch=epoch,
+                num_threads=args.num_workers,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
             )
@@ -285,6 +318,7 @@ def main(args):
             loader = make_da_loader(
                 train_ds, cfg.batch_size, canvas_hw, train_tf, max_boxes,
                 seed=args.seed, epoch=epoch,
+                num_threads=args.num_workers,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
                 # burn-in steps never consume the strong views — skip the

@@ -222,15 +222,16 @@ def train_step_self_training(
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "num_select",
-                                    "nms_iou_threshold"))
+                                    "nms_iou_threshold", "not_to_xyxy"))
 def eval_step(params, batch, model, num_select: int = 300,
-              nms_iou_threshold: float = -1.0):
+              nms_iou_threshold: float = -1.0, not_to_xyxy: bool = False):
     """Forward + postprocess for evaluation (engine.py:349-421).
 
     nms_iou_threshold > 0 enables the reference's optional class-aware NMS
     (dino.py:989-992,1136 — PostProcess(nms_iou_threshold=args.nms_iou_
     threshold)); the result then carries a `valid` mask for the fixed-shape
-    NMS output."""
+    NMS output. not_to_xyxy keeps boxes cxcywh (reference engine.test,
+    engine.py:572)."""
     from ..models.postprocess import postprocess, postprocess_with_nms
 
     out = model.apply(params, batch["images"], batch["pad_mask"], train=False)
@@ -242,5 +243,5 @@ def eval_step(params, batch, model, num_select: int = 300,
         )
     return postprocess(
         out["pred_logits"], out["pred_boxes"], batch["orig_sizes"],
-        num_select=num_select,
+        num_select=num_select, not_to_xyxy=not_to_xyxy,
     )

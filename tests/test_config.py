@@ -31,3 +31,13 @@ def test_overrides():
 def test_parse_override_nested():
     assert parse_override("a.b.c=[1,2]") == {"a": {"b": {"c": [1, 2]}}}
     assert parse_override("name=foo") == {"name": "foo"}
+
+
+def test_parse_override_bool_words():
+    """Reference DictAction (slconfig.py:425-429): TRUE/FALSE/none words are
+    case-insensitive bools/None — scripts pass embed_init_tgt=TRUE, and
+    FALSE must not become a truthy string."""
+    assert parse_override("a=TRUE") == {"a": True}
+    assert parse_override("a=FALSE") == {"a": False}
+    assert parse_override("a=null") == {"a": None}
+    assert parse_override("a=True") == {"a": True}  # literal_eval path

@@ -111,3 +111,20 @@ def test_eval_flag(tmp_path):
     cfg = _write_cfg(tmp_path)
     out = tmp_path / "ev"
     _run(cfg, out, "--eval")
+
+
+def test_reference_cli_flags_parse():
+    """Reference main.py:38-73 flag-surface parity: --dataset_file, --note,
+    --num_workers, --start_epoch, --amp all parse; --amp maps to
+    amp_dtype='bfloat16' (bf16 needs no GradScaler on TPU)."""
+    from datr_tpu.main import get_args_parser
+
+    args = get_args_parser().parse_args([
+        "-c", "x.py", "--dataset_file", "city2foggy", "--note", "exp1",
+        "--num_workers", "2", "--start_epoch", "3", "--amp",
+    ])
+    assert args.dataset_file == "city2foggy"
+    assert args.note == "exp1"
+    assert args.num_workers == 2
+    assert args.start_epoch == 3
+    assert args.amp is True

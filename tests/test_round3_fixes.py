@@ -287,3 +287,42 @@ def test_eval_step_nms_wiring():
             if same_class[i] == same_class[j]:
                 assert iou(kept_boxes[i], kept_boxes[j]) <= 0.5
     assert (kept_scores > 0).all()
+
+
+def test_engine_test_dumps_coco_results(tmp_path):
+    """--test mode (reference engine.py:527-597): dumps COCO-format records
+    with cxcywh boxes scaled to orig size (not_to_xyxy=True) to
+    results{rank}.json."""
+    from datr_tpu.engine import test as test_dump
+
+    class FakeModel:
+        def apply(self, params, images, pad_mask, train=False):
+            logits = np.full((1, 2, 3), -8.0, np.float32)
+            logits[0, 0, 1] = 4.0
+            boxes = np.array([[[0.5, 0.5, 0.2, 0.4],
+                               [0.1, 0.1, 0.05, 0.05]]], np.float32)
+            return {"pred_logits": jnp.asarray(logits),
+                    "pred_boxes": jnp.asarray(boxes)}
+
+    class Loader:
+        def __iter__(self):
+            yield {
+                "images": np.zeros((1, 8, 8, 3), np.float32),
+                "pad_mask": np.zeros((1, 8, 8), bool),
+                "orig_sizes": np.asarray([[100.0, 200.0]]),
+                "image_ids": np.asarray([7]),
+                "batch_valid": np.asarray([True]),
+            }
+
+    res = test_dump(None, FakeModel(), Loader(), str(tmp_path),
+                    num_select=3)
+    path = tmp_path / "results0.json"
+    assert path.exists()
+    assert json.loads(path.read_text()) == res
+    assert len(res) == 3
+    top = res[0]
+    assert top["image_id"] == 7 and top["category_id"] == 1
+    # cxcywh at orig size (w=200, h=100): cx=0.5*200, cy=0.5*100 ...
+    np.testing.assert_allclose(top["bbox"], [100.0, 50.0, 40.0, 40.0],
+                               atol=1e-4)
+    assert 0.97 < top["score"] <= 1.0
