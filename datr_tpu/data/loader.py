@@ -49,6 +49,7 @@ def make_da_loader(
     skips the photometric aug + extra finalize work and aliases
     images_strong to the weak batch.
     """
+    num_threads = max(1, num_threads)  # 0/negative would stall q.get()
     n = len(dataset)
     order = list(range(n))
     rng = random.Random(seed + epoch)
@@ -159,6 +160,7 @@ def make_single_loader(
       images [b, H, W, 3], pad_mask [b, H, W],
       boxes/labels/valid [b, max_boxes, ...]
     """
+    num_threads = max(1, num_threads)  # 0/negative would stall q.get()
     n = len(dataset)
     order = list(range(n))
     rng = random.Random(seed + epoch)
@@ -301,6 +303,8 @@ def make_eval_loader(
     max_boxes: int = 100,
     process_index: int = 0,
     process_count: int = 1,
+    num_threads: int = 4,
 ) -> EvalLoader:
     return EvalLoader(dataset, batch_size, canvas_hw, transform, max_boxes,
-                      process_index, process_count)
+                      process_index, process_count,
+                      num_threads=num_threads)

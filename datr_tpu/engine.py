@@ -248,13 +248,21 @@ def evaluate(
 
 
 def test(params, model, loader: Iterable, output_dir: str,
-         num_select: int = 300, logger=None, print_freq: int = 50):
+         num_select: int = 300, logger=None, print_freq: int = 50,
+         nms_iou_threshold: float = -1.0):
     """--test mode (reference engine.py:527-597): dump every detection as a
     COCO-format record list to <output_dir>/results{rank}.json. Boxes stay
     cxcywh (PostProcess not_to_xyxy=True, engine.py:572) scaled to original
-    image size; labels are the raw class indices."""
+    image size; labels are the raw class indices.
+
+    nms_iou_threshold > 0 applies the configured eval NMS (dino.py:989-992)
+    and dumps survivors only. Deliberate divergence: the reference would run
+    torchvision nms on the cxcywh tensors here (a latent upstream bug — the
+    IoUs are meaningless in that layout); we apply it in xyxy space and
+    convert the kept boxes back to cxcywh for the dump."""
     import json as _json
 
+    use_nms = nms_iou_threshold and nms_iou_threshold > 0
     final_res = []
     ml = MetricLogger(logger=logger)
     for batch in ml.log_every(loader, print_freq, "Test:"):
@@ -262,13 +270,24 @@ def test(params, model, loader: Iterable, output_dir: str,
                   if k in ("images", "pad_mask", "orig_sizes")}
         res = jax.device_get(
             eval_step(params, arrays, model, num_select=num_select,
-                      not_to_xyxy=True)
+                      nms_iou_threshold=float(nms_iou_threshold),
+                      not_to_xyxy=not use_nms)
         )
         for i in range(len(batch["image_ids"])):
             if not batch["batch_valid"][i]:
                 continue
-            for s, l, b in zip(res["scores"][i], res["labels"][i],
-                               res["boxes"][i]):
+            boxes = np.asarray(res["boxes"][i], np.float64)
+            scores = np.asarray(res["scores"][i])
+            labels_ = np.asarray(res["labels"][i])
+            if use_nms:  # xyxy survivors -> cxcywh dump layout
+                keep = np.asarray(res["valid"][i], bool)
+                boxes, scores, labels_ = boxes[keep], scores[keep], \
+                    labels_[keep]
+                x0, y0, x1, y1 = boxes.T
+                boxes = np.stack(
+                    [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], 1
+                )
+            for s, l, b in zip(scores, labels_, boxes):
                 final_res.append({
                     "image_id": int(batch["image_ids"][i]),
                     "category_id": int(l),

@@ -253,7 +253,8 @@ def main(args):
     val_loader = make_eval_loader(val_ds, cfg.batch_size, canvas_hw, eval_tf,
                                   max_boxes,
                                   process_index=jax.process_index(),
-                                  process_count=jax.process_count())
+                                  process_count=jax.process_count(),
+                                  num_threads=args.num_workers)
 
     # reference dino.py:989-992,1136: PostProcess gets the config's
     # nms_iou_threshold (>0 enables class-aware eval NMS)
@@ -266,7 +267,7 @@ def main(args):
 
         eval_params = state.model_ema if args.ema else state.params
         test_dump(eval_params, model, val_loader, args.output_dir,
-                  cfg.num_select, logger)
+                  cfg.num_select, logger, nms_iou_threshold=nms_thr)
         return
 
     if args.eval:

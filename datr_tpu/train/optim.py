@@ -114,13 +114,17 @@ def make_optimizer(
         # Zero frozen-group grads BEFORE the clip: the reference's clip norm
         # is over trainable grads only (clip_grad_norm_ skips grad-None
         # frozen params, engine.py:110) — including them would deflate every
-        # clipped update.
-        import jax
+        # clipped update. The zeroing is folded INTO the clip transform
+        # (not a separate chain stage) so the opt_state pytree keeps the
+        # 2-element (clip, multi_transform) structure — orbax restores of
+        # checkpoints saved before this fix still match.
+        clip = optax.clip_by_global_norm(clip_max_norm)
 
-        frozen_mask = jax.tree.map(lambda lb: lb == "frozen", labels)
+        def _clip_update(updates, state, params=None):
+            return clip.update(zero_frozen(updates), state, params)
+
         tx = optax.chain(
-            optax.masked(optax.set_to_zero(), frozen_mask),
-            optax.clip_by_global_norm(clip_max_norm),
+            optax.GradientTransformation(clip.init, _clip_update),
             tx,
         )
     if return_schedule:

@@ -326,3 +326,68 @@ def test_engine_test_dumps_coco_results(tmp_path):
     np.testing.assert_allclose(top["bbox"], [100.0, 50.0, 40.0, 40.0],
                                atol=1e-4)
     assert 0.97 < top["score"] <= 1.0
+
+
+def test_clip_chain_preserves_opt_state_structure():
+    """The frozen-grad zeroing is folded INTO the clip transform so the
+    opt_state stays a 2-element (clip, multi_transform) chain — orbax
+    restores of checkpoints saved before the fix must still match."""
+    from datr_tpu.train.optim import make_optimizer
+
+    params = {"backbone": {"layer2_0": {"k": jnp.ones((2,))}},
+              "head": {"k": jnp.ones((2,))}}
+    tx = make_optimizer(params, clip_max_norm=0.1)
+    st = tx.init(params)
+    assert isinstance(st, tuple) and len(st) == 2, jax.tree.structure(st)
+
+
+def test_loader_num_threads_zero_does_not_hang():
+    """--num_workers 0 (a standard DataLoader value) must clamp to 1, not
+    deadlock on an empty worker pool."""
+    from datr_tpu.data.loader import make_da_loader
+    from datr_tpu.data.synthetic import synthetic_da_pair
+    from datr_tpu.data.transforms import DATrainTransform
+
+    ds = synthetic_da_pair(n_images=2, hw=(64, 96), num_classes=3)
+    tf = DATrainTransform(scales=[56, 64], max_size=96,
+                          scales2_resize=[48, 56], scales2_crop=[40, 56])
+    batch = next(iter(make_da_loader(ds, 1, (64, 96), tf, max_boxes=8,
+                                     num_threads=0)))
+    assert batch["images"].shape[0] == 2
+
+
+def test_engine_test_dump_applies_nms(tmp_path):
+    """--test with nms_iou_threshold>0 dumps NMS survivors only (the
+    duplicate of the top box is suppressed), still in cxcywh layout."""
+    from datr_tpu.engine import test as test_dump
+
+    class FakeModel:
+        def apply(self, params, images, pad_mask, train=False):
+            logits = np.full((1, 3, 3), -8.0, np.float32)
+            logits[0, 0, 1] = 4.0
+            logits[0, 1, 1] = 3.5  # overlaps box 0 -> suppressed
+            logits[0, 2, 2] = 3.0
+            boxes = np.array([[[0.3, 0.3, 0.2, 0.2],
+                               [0.305, 0.3, 0.2, 0.2],
+                               [0.7, 0.7, 0.1, 0.1]]], np.float32)
+            return {"pred_logits": jnp.asarray(logits),
+                    "pred_boxes": jnp.asarray(boxes)}
+
+    class Loader:
+        def __iter__(self):
+            yield {
+                "images": np.zeros((1, 8, 8, 3), np.float32),
+                "pad_mask": np.zeros((1, 8, 8), bool),
+                "orig_sizes": np.asarray([[100.0, 100.0]]),
+                "image_ids": np.asarray([3]),
+                "batch_valid": np.asarray([True]),
+            }
+
+    res = test_dump(None, FakeModel(), Loader(), str(tmp_path),
+                    num_select=4, nms_iou_threshold=0.5)
+    assert (tmp_path / "results0.json").exists()
+    cls1 = [r for r in res if r["category_id"] == 1]
+    assert len(cls1) == 1  # duplicate suppressed
+    # cxcywh at 100x100: top box back-converted from its xyxy survivors
+    np.testing.assert_allclose(cls1[0]["bbox"], [30.0, 30.0, 20.0, 20.0],
+                               atol=0.2)
