@@ -35,6 +35,11 @@ def main():
         use_remat=False, dtype=jnp.bfloat16,
         msda_table_mode=os.environ.get("BENCH_TABLE_MODE", "slice"),
         fast_norm=os.environ.get("BENCH_FAST_NORM", "0") == "1",
+        # opt-in throughput variant (configs/DINO/DINO_4scale_fast.py):
+        # fewer sampling points halves the gather-issue wall; NOT
+        # checkpoint-compatible with reference models — parity bench keeps 4
+        enc_n_points=int(os.environ.get("BENCH_ENC_POINTS", "4")),
+        dec_n_points=int(os.environ.get("BENCH_DEC_POINTS", "4")),
     )
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (batch, H, W, 3), jnp.float32)

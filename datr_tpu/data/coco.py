@@ -48,6 +48,11 @@ class CocoDetectionDataset:
     def __len__(self):
         return len(self.index.image_ids)
 
+    def category_ids(self):
+        """Sorted GT category ids (uniform across dataset classes — main.py
+        builds the evaluator's category list from this)."""
+        return sorted(self.index.cats)
+
     def load(self, i: int):
         image_id = self.index.image_ids[i]
         info = self.index.images[image_id]
@@ -113,6 +118,12 @@ class ConcatDetectionDataset:
 
     def __len__(self):
         return int(self._cum[-1])
+
+    def category_ids(self):
+        ids = set()
+        for p in self.parts:
+            ids.update(p.category_ids())
+        return sorted(ids)
 
     def _locate(self, i: int):
         p = int(np.searchsorted(self._cum, i, side="right"))

@@ -30,14 +30,14 @@ def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
     n, h, w = masks.shape
     ys = np.arange(h, dtype=np.float32)[None, :, None]
     xs = np.arange(w, dtype=np.float32)[None, None, :]
+    # reference returns the INCLUSIVE max index (x_max = max over mask*x,
+    # with masked-out pixels contributing 0) — no +1 inflation.
     big = 1e8
     x_min = np.where(masks, xs, big).min(axis=(1, 2))
-    x_max = np.where(masks, xs, -big).max(axis=(1, 2))
+    x_max = np.where(masks, xs, 0.0).max(axis=(1, 2))
     y_min = np.where(masks, ys, big).min(axis=(1, 2))
-    y_max = np.where(masks, ys, -big).max(axis=(1, 2))
-    return np.stack([x_min, y_min, x_max + 1, y_max + 1], 1).astype(
-        np.float32
-    )
+    y_max = np.where(masks, ys, 0.0).max(axis=(1, 2))
+    return np.stack([x_min, y_min, x_max, y_max], 1).astype(np.float32)
 
 
 class CocoPanopticDataset:
@@ -50,12 +50,25 @@ class CocoPanopticDataset:
         # (coco_panoptic.py:21-26)
         self.coco["images"] = sorted(self.coco["images"],
                                      key=lambda x: x["id"])
+        # sanity check: _ann(idx) indexes 'annotations' by position of the
+        # id-sorted images list, so the two must be file_name-aligned
+        # (coco_panoptic.py:24-26 guards the same way).
+        if self.coco.get("annotations"):
+            for img_info, ann in zip(self.coco["images"],
+                                     self.coco["annotations"]):
+                assert img_info["file_name"][:-4] == ann["file_name"][:-4], (
+                    f"panoptic images/annotations misaligned: "
+                    f"{img_info['file_name']} vs {ann['file_name']}"
+                )
         self.img_folder = img_folder
         self.ann_folder = ann_folder
         self.cats = {c["id"]: c for c in self.coco.get("categories", [])}
 
     def __len__(self):
         return len(self.coco["images"])
+
+    def category_ids(self):
+        return sorted(self.cats)
 
     def _ann(self, idx):
         anns = self.coco.get("annotations")

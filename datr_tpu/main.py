@@ -148,7 +148,7 @@ def main(args):
         train_ds = build_dataset("train", cfg.dataset_file, args.data_root,
                                  cfg.get("strong_aug", True))
         val_ds = build_dataset("val", cfg.dataset_file, args.data_root)
-        categories = sorted(val_ds.index.cats) or list(
+        categories = val_ds.category_ids() or list(
             range(1, cfg.num_classes)
         )
 

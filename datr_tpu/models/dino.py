@@ -354,7 +354,7 @@ class DINO(nn.Module):
             # consumed via the stacked copies the closure holds, so the
             # in-scope enc_layer{i} submodules are intentionally unused
             memory = encoder_fn(src_flat, pos_flat, enc_ref, mask_flat,
-                                spatial_shapes)
+                                spatial_shapes, deterministic)
         else:
             memory = self._sp_constraint(src_flat)
             for layer in self.encoder:

@@ -155,7 +155,8 @@ def mask_head_forward(
     the FPN conv head. Returns pred_masks [B, Q, h4, w4] (stride-4 logits).
 
     query_chunk > 0 bounds peak memory: the B*Q fan-out is processed in
-    lax.map chunks of that many (image, query) pairs (must divide B*Q).
+    chunks of at most that many (image, query) pairs (rounded down to a
+    divisor of B*Q if needed so the bound always holds).
     """
     B, Q, C = hs_last.shape
     h, w = src_proj.shape[1], src_proj.shape[2]
@@ -166,7 +167,14 @@ def mask_head_forward(
     att = bbox_mask.transpose(0, 1, 3, 4, 2).reshape(B * Q, h, w, heads)
     fused = jnp.concatenate([ctx, att.astype(src_proj.dtype)], axis=-1)
 
-    if query_chunk and (B * Q) % query_chunk == 0 and query_chunk < B * Q:
+    if query_chunk and query_chunk < B * Q:
+        if (B * Q) % query_chunk:
+            # round DOWN to the largest divisor of B*Q so the bound still
+            # holds — silently running the full fan-out would be the exact
+            # peak-memory blowup the option exists to prevent
+            query_chunk = next(
+                c for c in range(query_chunk, 0, -1) if (B * Q) % c == 0
+            )
         # statically-unrolled chunks (a python loop reuses the same flax
         # submodule, so params are shared; lax.map would hide the module
         # call from flax's param machinery)

@@ -215,7 +215,19 @@ def make_pp_encoder_fn(
         model.fast_norm,
     )
 
-    def encoder_fn(src, pos, ref, mask, spatial_shapes):
+    def encoder_fn(src, pos, ref, mask, spatial_shapes,
+                   deterministic=True):
+        # Dropout needs a per-layer/per-microbatch rng threaded through the
+        # shard_map schedule — not supported; refuse rather than silently
+        # training a dropout-free encoder that diverges from the
+        # sequential path (reference trains with dropout=0.0 anyway).
+        if not deterministic and model.dropout > 0.0:
+            raise NotImplementedError(
+                "pipeline-parallel encoder does not support active dropout "
+                "(dropout={}) — set dropout=0.0 or disable pp_n_micro"
+                .format(model.dropout)
+            )
+
         def stage_apply(p, shared, y, aux_t):
             pos_t, ref_t, mask_t = aux_t
             apply = lambda yy: layer.apply(  # noqa: E731

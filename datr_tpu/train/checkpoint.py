@@ -211,12 +211,19 @@ def load_resume(path: str, state: Any):
     every EMA track start from the loaded weights.
     Returns (state, start_epoch, meta)."""
     path = os.path.abspath(path)
-    raw = _ckptr().restore(path)
     meta = {}
     if os.path.exists(path + ".meta.json"):
         with open(path + ".meta.json") as f:
             meta = json.load(f)
-    if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+    # Structure probe WITHOUT materializing the tree (a multi-GB TrainState
+    # would otherwise be read twice: once here, once in load_checkpoint).
+    try:
+        struct = _ckptr().metadata(path)
+        top_keys = set(struct.keys()) if hasattr(struct, "keys") else set()
+    except Exception:  # older layouts: fall back to a data restore
+        struct = _ckptr().restore(path)
+        top_keys = set(struct.keys()) if isinstance(struct, dict) else set()
+    if {"params", "opt_state"} <= top_keys:
         state, meta = load_checkpoint(path, state)
         return state, int(meta.get("epoch", -1)) + 1, meta
     import jax.numpy as jnp

@@ -290,11 +290,17 @@ def criterion(
 
     losses: Dict[str, jnp.ndarray] = {}
 
-    # final layer
+    # final layer (assign computed once and shared with loss_masks, like
+    # the reference's get_loss reusing one `indices` for label/box/mask)
+    final_assign = compute_assign(
+        outputs["pred_logits" + sfx], outputs["pred_boxes" + sfx],
+        gt_labels, gt_boxes, gt_valid, cfg,
+    )
     losses.update(
-        match_and_losses(
+        detection_losses(
             outputs["pred_logits" + sfx], outputs["pred_boxes" + sfx],
-            gt_labels, gt_boxes, gt_valid, num_boxes, cfg, img_mask,
+            gt_labels, gt_boxes, gt_valid, final_assign, num_boxes,
+            cfg.focal_alpha, img_mask,
         )
     )
 
@@ -303,12 +309,8 @@ def criterion(
     if gt_masks is not None and ("pred_masks" + sfx) in outputs:
         from ..models.segmentation import loss_masks as _loss_masks
 
-        assign = compute_assign(
-            outputs["pred_logits" + sfx], outputs["pred_boxes" + sfx],
-            gt_labels, gt_boxes, gt_valid, cfg,
-        )
         losses.update(_loss_masks(
-            outputs["pred_masks" + sfx], gt_masks, gt_valid, assign,
+            outputs["pred_masks" + sfx], gt_masks, gt_valid, final_assign,
             num_boxes,
         ))
 

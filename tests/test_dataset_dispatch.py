@@ -78,9 +78,10 @@ def test_masks_to_boxes():
     m = np.zeros((2, 10, 12), bool)
     m[0, 2:5, 3:9] = True
     m[1, 7, 11] = True
+    # reference (util/box_ops.py:108-132) returns the INCLUSIVE max index
     b = masks_to_boxes(m)
-    np.testing.assert_array_equal(b[0], [3, 2, 9, 5])
-    np.testing.assert_array_equal(b[1], [11, 7, 12, 8])
+    np.testing.assert_array_equal(b[0], [3, 2, 8, 4])
+    np.testing.assert_array_equal(b[1], [11, 7, 11, 7])
 
 
 def test_classic_coco_dispatch(tmp_path):
@@ -103,9 +104,10 @@ def test_panoptic_dispatch(tmp_path):
     assert len(ds) == 2
     img, tgt = ds.load(0)
     assert img.size == (64, 48)
-    # boxes from mask extents (masks_to_boxes semantics: max+1)
-    np.testing.assert_array_equal(tgt["boxes"][0], [8, 6, 20, 16])
-    np.testing.assert_array_equal(tgt["boxes"][1], [30, 20, 38, 28])
+    # boxes from mask extents (masks_to_boxes semantics: inclusive max,
+    # util/box_ops.py:108-132)
+    np.testing.assert_array_equal(tgt["boxes"][0], [8, 6, 19, 15])
+    np.testing.assert_array_equal(tgt["boxes"][1], [30, 20, 37, 27])
     np.testing.assert_array_equal(tgt["labels"], [2, 5])
     ann = ds.eval_annotations(0)
     assert len(ann["boxes"]) == 2

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--self-training", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--points", type=int, default=0,
+                    help="override enc/dec_n_points (the opt-in fast "
+                         "variant, configs/DINO/DINO_4scale_fast.py)")
     args = ap.parse_args()
 
     from datr_tpu.config import load_config
@@ -39,6 +42,8 @@ def main():
     cfg["amp_dtype"] = "bfloat16"
     if args.no_remat:
         cfg["use_remat"] = False
+    if args.points:
+        cfg["enc_n_points"] = cfg["dec_n_points"] = args.points
     model, ccfg, wd = build_model(cfg)
     B, Hc, Wc = args.batch, 800, 1344
     half = B // 2
