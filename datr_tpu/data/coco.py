@@ -21,6 +21,62 @@ from PIL import Image
 from .strong_aug import strong_augment
 
 
+def _rle_counts_from_string(s) -> List[int]:
+    """COCO compressed-RLE counts string -> run lengths (the LEB128-style
+    varint + delta coding of pycocotools maskApi.c rleFrString)."""
+    if isinstance(s, str):
+        s = s.encode()
+    counts: List[int] = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def decode_segmentation(seg, h: int, w: int) -> np.ndarray:
+    """COCO 'segmentation' field -> binary mask [h, w] uint8.
+
+    Handles polygon lists (rasterized with PIL — same fill convention as
+    pycocotools' polygon rasterizer up to boundary-pixel rounding), and
+    uncompressed / compressed RLE dicts (column-major runs starting with
+    zeros, maskApi.c rleDecode). Reference: ConvertCocoPolysToMask's
+    convert_coco_poly_to_mask (frPyObjects + decode), datasets/coco.py."""
+    if isinstance(seg, dict):  # RLE
+        counts = seg["counts"]
+        if isinstance(counts, (str, bytes)):
+            counts = _rle_counts_from_string(counts)
+        rh, rw = seg.get("size", (h, w))
+        m = np.zeros(rh * rw, np.uint8)
+        pos = 0
+        val = 0
+        for c in counts:
+            m[pos:pos + c] = val
+            pos += c
+            val = 1 - val
+        return m.reshape(rw, rh).T  # COCO RLE is column-major
+    from PIL import ImageDraw
+
+    out = Image.new("L", (w, h), 0)
+    drw = ImageDraw.Draw(out)
+    for poly in seg:
+        if len(poly) >= 6:
+            drw.polygon([float(v) for v in poly], fill=1)
+    return np.asarray(out, np.uint8)
+
+
 class CocoIndex:
     """Minimal in-memory COCO index (replaces pycocotools.coco.COCO)."""
 
@@ -41,9 +97,14 @@ class CocoIndex:
 class CocoDetectionDataset:
     """Single-domain detection dataset yielding (PIL image, target dict)."""
 
-    def __init__(self, img_dir: str, ann_file: str):
+    def __init__(self, img_dir: str, ann_file: str,
+                 return_masks: bool = False):
         self.img_dir = img_dir
         self.index = CocoIndex(ann_file)
+        # reference ConvertCocoPolysToMask(return_masks=args.masks),
+        # datasets/coco.py — targets gain 'masks' [N, h, w] uint8 aligned
+        # with boxes/labels, feeding the segmentation losses
+        self.return_masks = return_masks
 
     def __len__(self):
         return len(self.index.image_ids)
@@ -60,7 +121,7 @@ class CocoDetectionDataset:
         img = Image.open(path).convert("RGB")
         w, h = img.size
 
-        boxes, labels = [], []
+        boxes, labels, masks = [], [], []
         for a in self.index.anns_by_image[image_id]:
             if a.get("iscrowd", 0):
                 continue
@@ -73,6 +134,9 @@ class CocoDetectionDataset:
                 continue
             boxes.append([x0, y0, x1, y1])
             labels.append(a["category_id"])
+            if self.return_masks:
+                masks.append(decode_segmentation(
+                    a.get("segmentation", []), h, w))
         target = {
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "labels": np.asarray(labels, np.int64),
@@ -80,6 +144,9 @@ class CocoDetectionDataset:
             "orig_size": np.array([h, w], np.int64),
             "size": np.array([h, w], np.int64),
         }
+        if self.return_masks:
+            target["masks"] = (np.stack(masks) if masks
+                               else np.zeros((0, h, w), np.uint8))
         return img, target
 
     def eval_annotations(self, image_id: int):
@@ -175,17 +242,20 @@ class DAPairedDataset:
 # dataset registry — mirrors datasets/__init__.py:21-45 dispatch and the
 # per-direction builders (paths are configured, not hardcoded-blank).
 # -----------------------------------------------------------------------
-def build_coco_classic(image_set: str, root: str):
+def build_coco_classic(image_set: str, root: str,
+                       return_masks: bool = False):
     """Classic COCO-2017 directory layout (reference datasets/coco.py:611-641
     PATHS): <root>/{train2017,val2017} + annotations/instances_*.json."""
     split = "train2017" if image_set == "train" else "val2017"
     return CocoDetectionDataset(
         os.path.join(root, split),
         os.path.join(root, "annotations", f"instances_{split}.json"),
+        return_masks=return_masks,
     )
 
 
-def build_coco_panoptic(image_set: str, root: str):
+def build_coco_panoptic(image_set: str, root: str,
+                        return_masks: bool = False):
     """COCO-panoptic layout (reference datasets/coco_panoptic.py:81-104):
     <root>/{train2017,val2017} + <root>/panoptic/{panoptic_<split>/,
     annotations/panoptic_<split>.json}."""
@@ -197,10 +267,12 @@ def build_coco_panoptic(image_set: str, root: str):
         os.path.join(root, split),
         os.path.join(pan, f"panoptic_{split}"),
         os.path.join(pan, "annotations", f"panoptic_{split}.json"),
+        return_masks=return_masks,
     )
 
 
-def build_o365_combine(image_set: str, root: str):
+def build_o365_combine(image_set: str, root: str,
+                       return_masks: bool = False):
     """Objects365-style sharded layout: <root>/<split>/images plus EITHER a
     single annotations.json or several annotations*.json shards combined
     into one dataset (reference dispatch name 'o365',
@@ -217,7 +289,8 @@ def build_o365_combine(image_set: str, root: str):
             f"no annotations*.json under {d} (o365 layout)"
         )
     parts = [
-        CocoDetectionDataset(os.path.join(d, "images"), s) for s in shards
+        CocoDetectionDataset(os.path.join(d, "images"), s,
+                             return_masks=return_masks) for s in shards
     ]
     if len(parts) == 1:
         return parts[0]
@@ -229,6 +302,7 @@ def build_dataset(
     dataset_file: str,
     data_root: str,
     strong_aug: bool = True,
+    return_masks: bool = False,
 ):
     """image_set: 'train' (paired DA) or 'val' (target-domain eval).
 
@@ -251,13 +325,16 @@ def build_dataset(
                       single-domain training (reference 'city' path).
     """
     if dataset_file == "coco":
-        return build_coco_classic(image_set, os.path.join(data_root, "coco"))
+        return build_coco_classic(image_set, os.path.join(data_root, "coco"),
+                                  return_masks=return_masks)
     if dataset_file == "coco_panoptic":
         return build_coco_panoptic(image_set,
-                                   os.path.join(data_root, "coco"))
+                                   os.path.join(data_root, "coco"),
+                                   return_masks=return_masks)
     if dataset_file == "o365":
         return build_o365_combine(image_set,
-                                  os.path.join(data_root, "o365"))
+                                  os.path.join(data_root, "o365"),
+                                  return_masks=return_masks)
     d = os.path.join(data_root, dataset_file)
     single_domain = (
         not os.path.isdir(os.path.join(d, "source"))
@@ -271,6 +348,16 @@ def build_dataset(
             return CocoDetectionDataset(
                 os.path.join(d, "train/images"),
                 os.path.join(d, "train/annotations.json"),
+                return_masks=return_masks,
+            )
+        if return_masks:
+            # the reference's DA pipeline has no mask supervision either
+            # (DAcoco.py never wires return_masks); fail loudly instead of
+            # training a mask head with zero gradient
+            raise ValueError(
+                "masks=True requires a single-domain dataset layout "
+                "(train/ + val/): the paired DA pipeline carries no "
+                "instance masks"
             )
         src = CocoDetectionDataset(
             os.path.join(d, "source/images"),
@@ -285,5 +372,6 @@ def build_dataset(
         return CocoDetectionDataset(
             os.path.join(d, "val/images"),
             os.path.join(d, "val/annotations.json"),
+            return_masks=return_masks,
         )
     raise ValueError(image_set)

@@ -186,13 +186,16 @@ def make_single_loader(
         for bi, idxs in chunk:
             items = [load_one(idx, base_seed + bi * 1000 + j)
                      for j, idx in enumerate(idxs)]
-            q.put((bi, {
+            batch = {
                 "images": _stack(items, "image"),
                 "pad_mask": _stack(items, "pad_mask"),
                 "boxes": _stack(items, "boxes"),
                 "labels": _stack(items, "labels"),
                 "valid": _stack(items, "valid"),
-            }))
+            }
+            if "masks" in items[0]:  # masks=True single-domain training
+                batch["masks"] = _stack(items, "masks")
+            q.put((bi, batch))
 
     enumerated = list(enumerate(batches))
     chunks = [enumerated[i::num_threads] for i in range(num_threads)]

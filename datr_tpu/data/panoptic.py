@@ -43,7 +43,9 @@ def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
 class CocoPanopticDataset:
     """API-compatible with CocoDetectionDataset (load(i) -> (img, target))."""
 
-    def __init__(self, img_folder: str, ann_folder: str, ann_file: str):
+    def __init__(self, img_folder: str, ann_folder: str, ann_file: str,
+                 return_masks: bool = False):
+        self.return_masks = return_masks
         with open(ann_file) as f:
             self.coco = json.load(f)
         # align 'images' with 'annotations' by id order
@@ -63,6 +65,11 @@ class CocoPanopticDataset:
         self.img_folder = img_folder
         self.ann_folder = ann_folder
         self.cats = {c["id"]: c for c in self.coco.get("categories", [])}
+        # one-time image_id -> position index (eval_annotations is called
+        # once per image per evaluator pass; a linear scan would be O(N^2)
+        # per epoch over the val set)
+        self._id2idx = {info["id"]: i
+                        for i, info in enumerate(self.coco["images"])}
 
     def __len__(self):
         return len(self.coco["images"])
@@ -84,18 +91,24 @@ class CocoPanopticDataset:
 
         boxes = np.zeros((0, 4), np.float32)
         labels = np.zeros((0,), np.int64)
+        kept_masks = np.zeros((0, h, w), np.uint8)
         if "segments_info" in ann_info:
             id_map = rgb2id(np.asarray(
                 Image.open(os.path.join(self.ann_folder, fname)).convert(
                     "RGB"), np.uint8))
             segs = ann_info["segments_info"]
-            ids = np.array([s["id"] for s in segs])
+            # explicit dtypes: empty segments_info would otherwise produce
+            # float64 arrays (np.array([]) defaults to float64 and ~ on it
+            # raises TypeError)
+            ids = np.array([s["id"] for s in segs], np.int64)
             masks = id_map[None] == ids[:, None, None]
             keep = masks.any(axis=(1, 2)) & ~np.array(
-                [bool(s.get("iscrowd", 0)) for s in segs])
+                [bool(s.get("iscrowd", 0)) for s in segs], bool)
             boxes = masks_to_boxes(masks[keep])
             labels = np.array([s["category_id"] for s, k in zip(segs, keep)
                                if k], np.int64)
+            if self.return_masks:
+                kept_masks = masks[keep].astype(np.uint8)
         image_id = ann_info.get("image_id", ann_info.get("id"))
         target = {
             "boxes": boxes,
@@ -104,17 +117,14 @@ class CocoPanopticDataset:
             "orig_size": np.array([h, w], np.int64),
             "size": np.array([h, w], np.int64),
         }
+        if self.return_masks:  # reference coco_panoptic.py return_masks
+            target["masks"] = kept_masks
         return img, target
 
     def eval_annotations(self, image_id: int):
         """Raw GT (crowd kept, segment areas) for evaluation, same contract
         as CocoDetectionDataset.eval_annotations."""
-        for idx, info in enumerate(self.coco["images"]):
-            if info["id"] == image_id:
-                break
-        else:
-            raise KeyError(image_id)
-        ann_info = self._ann(idx)
+        ann_info = self._ann(self._id2idx[image_id])
         boxes, labels, iscrowd, areas = [], [], [], []
         if "segments_info" in ann_info:
             id_map = rgb2id(np.asarray(

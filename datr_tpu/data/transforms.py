@@ -43,6 +43,21 @@ def get_size_with_aspect_ratio(
     return oh, ow
 
 
+def _nearest_idx(n_out: int, n_in: int) -> np.ndarray:
+    """torch F.interpolate(mode='nearest') index map: floor(i*in/out)."""
+    return (np.arange(n_out) * (n_in / n_out)).astype(np.int64)
+
+
+def _resize_masks(masks: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """[N, h, w] uint8 -> [N, oh, ow] nearest (reference resizes target
+    masks with interpolate mode='nearest', da_transforms/transforms.py)."""
+    if masks.shape[0] == 0:
+        return np.zeros((0, oh, ow), masks.dtype)
+    yi = _nearest_idx(oh, masks.shape[1])
+    xi = _nearest_idx(ow, masks.shape[2])
+    return masks[:, yi[:, None], xi[None, :]]
+
+
 def _resize_triple(img, img_strong, target, size, max_size=None):
     oh, ow = get_size_with_aspect_ratio(img.size, size, max_size)
     rw, rh = ow / img.size[0], oh / img.size[1]
@@ -56,6 +71,8 @@ def _resize_triple(img, img_strong, target, size, max_size=None):
         target = dict(target, boxes=b)
     if target is not None:
         target = dict(target, size=np.array([oh, ow], np.int64))
+        if target.get("masks") is not None:
+            target["masks"] = _resize_masks(target["masks"], oh, ow)
     return img, img_strong, target
 
 
@@ -70,6 +87,8 @@ def _hflip_triple(img, img_strong, target):
             [w, 0, w, 0]
         )
         target = dict(target, boxes=b.astype(np.float32))
+    if target is not None and target.get("masks") is not None:
+        target = dict(target, masks=target["masks"][:, :, ::-1])
     return img, img_strong, target
 
 
@@ -89,6 +108,11 @@ def _crop_triple(img, img_strong, target, region):
             keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
             t["boxes"] = b[keep]
             t["labels"] = target["labels"][keep]
+            if target.get("masks") is not None:
+                t["masks"] = target["masks"][keep][:, top:top + h,
+                                                   left:left + w]
+        elif target.get("masks") is not None:
+            t["masks"] = target["masks"][:, top:top + h, left:left + w]
         target = t
     return img, img_strong, target
 
@@ -200,6 +224,9 @@ def finalize_example(
             b = target["boxes"].copy()
             b *= scale
             target = dict(target, boxes=b)
+        if target is not None and target.get("masks") is not None:
+            target = dict(target,
+                          masks=_resize_masks(target["masks"], nh, nw))
         h, w = nh, nw
 
     # fused resize(if any) + normalize + pad — native C++ kernel when built
@@ -240,6 +267,15 @@ def finalize_example(
             labels[:n] = tl[:n]
             valid[:n] = True
         out.update(boxes=boxes, labels=labels, valid=valid)
+        if target.get("masks") is not None:
+            # static [max_boxes, H, W] uint8 canvas masks aligned with
+            # boxes/valid (criterion resizes matched predictions to this
+            # resolution, reference dino.py loss_masks)
+            mk = np.zeros((max_boxes, H, W), np.uint8)
+            tm = target["masks"]
+            if n and len(tm):
+                mk[:n, :h, :w] = tm[:n]
+            out["masks"] = mk
         if "image_id" in target:
             out["image_id"] = np.int64(target["image_id"])
         if "orig_size" in target:

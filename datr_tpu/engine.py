@@ -119,7 +119,11 @@ def train_one_epoch_self_training(
     state, model, tx, loader: Iterable, ccfg: CriterionCfg,
     weight_dict: Dict[str, float], class_thresholds, canvas_hw,
     epoch: int, logger=None, print_freq: int = 10, ema_decay: float = 0.0,
+    teacher_model=None, teacher_params=None,
 ):
+    """teacher_model/teacher_params switch the pseudo-label source from the
+    student's EMA to an external (possibly different-architecture) teacher —
+    the distillation path onto the fast config (train/steps.py)."""
     ml = MetricLogger(logger=logger)
     thr = jnp.asarray(class_thresholds)
 
@@ -128,6 +132,7 @@ def train_one_epoch_self_training(
         return train_step_self_training(
             state, batch, model, tx, ccfg, weight_dict, thr,
             canvas_hw=tuple(canvas_hw), ema_decay=ema_decay,
+            teacher_model=teacher_model, teacher_params=teacher_params,
         )
 
     return _run_epoch(step, state, loader, ml,
@@ -172,7 +177,11 @@ def evaluate(
     # original COCO API GT (datasets/coco_eval.py:22-56)
     dataset = getattr(loader, "dataset", None)
     raw_gt = getattr(dataset, "eval_annotations", None)
-    det_records = []  # per-image records (for the multi-host merge)
+    # per-image records for the multi-host merge — only accumulated when a
+    # merge will actually run (single-host eval of a large val set would
+    # otherwise hold ~num_select dets + max_boxes GT per image for nothing)
+    multi = jax.process_count() > 1
+    det_records = []
     max_boxes = None
     for batch in ml.log_every(loader, print_freq, "Test:"):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
@@ -191,40 +200,46 @@ def evaluate(
             if "valid" in res:  # NMS path: keep surviving detections only
                 dv = np.asarray(res["valid"][i], bool)
                 db, ds, dl = db[dv], ds[dv], dl[dv]
-            # GT back to absolute xyxy in orig coords (used directly when
-            # the dataset has no raw annotations, and as the multi-host
-            # payload so the merge also works without raw_gt)
-            gb = np.asarray(batch["boxes"][i], np.float64)
-            gv = np.asarray(batch["valid"][i], bool)
-            gl = np.asarray(batch["labels"][i])
-            cx, cy, w_, h_ = gb[:, 0], gb[:, 1], gb[:, 2], gb[:, 3]
-            gt_xyxy = np.stack(
-                [cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2], 1
-            ) * np.array([ow, oh, ow, oh])
             if raw_gt is not None:
                 ann = raw_gt(int(batch["image_ids"][i]))
                 gt_kw = dict(
                     gt_boxes=ann["boxes"], gt_labels=ann["labels"],
                     gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
                 )
+                gt_xyxy = gv = gl = None
             else:
+                # GT back to absolute xyxy in orig coords (used directly,
+                # and as the multi-host payload so the merge also works
+                # without raw annotations)
+                gb = np.asarray(batch["boxes"][i], np.float64)
+                gv = np.asarray(batch["valid"][i], bool)
+                gl = np.asarray(batch["labels"][i])
+                cx, cy, w_, h_ = gb[:, 0], gb[:, 1], gb[:, 2], gb[:, 3]
+                gt_xyxy = np.stack(
+                    [cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2], 1
+                ) * np.array([ow, oh, ow, oh])
                 gt_kw = dict(gt_boxes=gt_xyxy[gv], gt_labels=gl[gv])
             evaluator.add_image(
                 int(batch["image_ids"][i]),
                 det_boxes=db, det_scores=ds, det_labels=dl, **gt_kw,
             )
-            det_records.append(dict(
-                image_id=int(batch["image_ids"][i]),
-                boxes=np.asarray(res["boxes"][i]),
-                scores=np.asarray(res["scores"][i])
-                if "valid" not in res else np.where(
-                    np.asarray(res["valid"][i], bool),
-                    np.asarray(res["scores"][i]), -1.0
-                ),
-                labels=np.asarray(res["labels"][i]),
-                gt_boxes=gt_xyxy, gt_labels=np.asarray(gl),
-                gt_valid=gv,
-            ))
+            if multi:
+                rec = dict(
+                    image_id=int(batch["image_ids"][i]),
+                    boxes=np.asarray(res["boxes"][i]),
+                    scores=np.asarray(res["scores"][i])
+                    if "valid" not in res else np.where(
+                        np.asarray(res["valid"][i], bool),
+                        np.asarray(res["scores"][i]), -1.0
+                    ),
+                    labels=np.asarray(res["labels"][i]),
+                )
+                if raw_gt is None:
+                    # GT rides the allgather only when there is no shared
+                    # annotation file for the far side to look it up in
+                    rec.update(gt_boxes=gt_xyxy, gt_labels=np.asarray(gl),
+                               gt_valid=gv)
+                det_records.append(rec)
             if dumped is not None:
                 dumped.append(dict(
                     image_id=int(batch["image_ids"][i]),
@@ -332,9 +347,10 @@ def _merge_across_processes(evaluator, det_records, raw_gt, num_select,
         boxes[i] = r["boxes"]
         scores[i] = r["scores"]
         labels[i] = r["labels"]
-        gt_boxes[i] = r["gt_boxes"]
-        gt_labels[i] = r["gt_labels"]
-        gt_valid[i] = r["gt_valid"]
+        if raw_gt is None:  # GT only travels when there's no shared ann file
+            gt_boxes[i] = r["gt_boxes"]
+            gt_labels[i] = r["gt_labels"]
+            gt_valid[i] = r["gt_valid"]
     gathered = multihost_utils.process_allgather(
         (ids, boxes, scores, labels, gt_boxes, gt_labels, gt_valid)
     )

@@ -89,6 +89,18 @@ def get_args_parser():
     p.add_argument("--amp", action="store_true",
                    help="shorthand for amp_dtype='bfloat16' (reference "
                         "--amp; bf16 needs no GradScaler on TPU)")
+    # cross-architecture distillation (no reference equivalent): replace the
+    # EMA teacher in self-training epochs with an external teacher — e.g.
+    # distill a parity-config DATR checkpoint into the opt-in fast config
+    # (configs/DINO/DINO_4scale_fast.py, ~1.9x inference throughput)
+    p.add_argument("--distill_teacher_ckpt", default="",
+                   help="checkpoint (full TrainState or params-only family) "
+                        "whose weights supply pseudo labels during "
+                        "self-training epochs")
+    p.add_argument("--distill_teacher_config", default="",
+                   help="teacher model config (defaults to the training "
+                        "config; set when the teacher architecture differs, "
+                        "e.g. parity teacher -> fast student)")
     return p
 
 
@@ -134,6 +146,42 @@ def main(args):
     canvas_hw = (cfg.get("canvas_h", 800), cfg.get("canvas_w", 1344))
     max_boxes = cfg.get("max_boxes", 100)
 
+    # --- optional external distillation teacher (see get_args_parser) ---
+    distill_model = distill_params = None
+    if args.distill_teacher_ckpt:
+        from .train.checkpoint import load_pretrain_params
+
+        t_cfg = cfg
+        if args.distill_teacher_config:
+            t_cfg = apply_overrides(
+                load_config(args.distill_teacher_config), args.options
+            )
+        distill_model, _, _ = build_model(t_cfg)
+        # param shapes are input-size independent (sine PE, convs) — init
+        # on a small dummy canvas just to get the template tree. Init in
+        # TRAIN mode so the template matches checkpoints saved from
+        # training state (they carry DN/DA-only params like label_enc and
+        # the discriminator); apply(train=False) simply never reads those.
+        dummy = jnp.zeros((2, 64, 64, 3), jnp.float32)
+        t_k = t_cfg.get("num_classes", 91)
+        t_hd = t_cfg.get("hidden_dim", 256)
+        t_template = distill_model.init(
+            jax.random.PRNGKey(0), dummy, jnp.zeros((2, 64, 64), bool),
+            targets=dict(
+                boxes=jnp.full((1, 1, 4), 0.5), labels=jnp.zeros(
+                    (1, 1), jnp.int32), valid=jnp.ones((1, 1), bool),
+            ),
+            dn_rng=jax.random.PRNGKey(1), train=True,
+            global_proto=jnp.zeros((t_k, t_hd)), amount=jnp.zeros((t_k,)),
+        )
+        distill_params = load_pretrain_params(
+            args.distill_teacher_ckpt, t_template
+        )
+        logger.info(
+            f"distillation teacher: {args.distill_teacher_ckpt} "
+            f"({args.distill_teacher_config or 'training config'})"
+        )
+
     # --- datasets ---
     if args.synthetic:
         train_ds = synthetic_da_pair(
@@ -146,7 +194,8 @@ def main(args):
         categories = val_ds.categories
     else:
         train_ds = build_dataset("train", cfg.dataset_file, args.data_root,
-                                 cfg.get("strong_aug", True))
+                                 cfg.get("strong_aug", True),
+                                 return_masks=cfg.get("masks", False))
         val_ds = build_dataset("val", cfg.dataset_file, args.data_root)
         categories = val_ds.category_ids() or list(
             range(1, cfg.num_classes)
@@ -236,15 +285,18 @@ def main(args):
             model_ema=jax.tree.map(jnp.copy, loaded_params),
         )
         logger.info(f"loaded pretrain weights: {args.pretrain_model_path}")
-    state, start_epoch, resume_meta = maybe_auto_resume(args.output_dir, state)
-    if start_epoch == 0 and args.resume:
-        # explicit --resume when output_dir has no checkpoint yet
-        # (reference main.py:226-245; scripts/DINO_eval_ema.sh passes a
+    if args.resume:
+        # explicit --resume wins over auto-resume: the reference fills
+        # args.resume from output_dir/checkpoint.pth only when --resume is
+        # absent (main.py:226-245; scripts/DINO_eval_ema.sh passes a
         # best-family dir here)
         from .train.checkpoint import load_resume
 
         state, start_epoch, resume_meta = load_resume(args.resume, state)
         logger.info(f"resumed from {args.resume} (epoch {start_epoch})")
+    else:
+        state, start_epoch, resume_meta = maybe_auto_resume(
+            args.output_dir, state)
     if args.start_epoch:
         start_epoch = args.start_epoch  # reference main.py:55
 
@@ -349,6 +401,7 @@ def main(args):
             state, train_stats = train_one_epoch_self_training(
                 state, model, tx, loader, ccfg, weight_dict, thresholds,
                 canvas_hw, epoch, logger, ema_decay=ema_decay,
+                teacher_model=distill_model, teacher_params=distill_params,
             )
         state = update_emas_per_epoch(state, epoch, cfg)
 

@@ -708,6 +708,12 @@ def _build_dino_entry(cfg):
         interm_loss_coef=get("interm_loss_coef", 1.0),
         no_interm_box_loss=get("no_interm_box_loss", False),
         use_dn=get("use_dn", True),
+        # masks=True must reach the weight dict too, else loss_mask/loss_dice
+        # are dropped by the weighted total and the mask head silently gets
+        # zero gradient (reference wires coefs at dino.py:1099-1101)
+        masks=get("masks", False),
+        mask_loss_coef=get("mask_loss_coef", 1.0),
+        dice_loss_coef=get("dice_loss_coef", 1.0),
     )
     weight_dict["loss_self_training"] = get("self_training_loss_coef", 1.0)
     return model, ccfg, weight_dict

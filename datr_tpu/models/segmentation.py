@@ -162,10 +162,7 @@ def mask_head_forward(
     h, w = src_proj.shape[1], src_proj.shape[2]
     bbox_mask = attn_map_mod(hs_last, memory_32, level_mask)  # [B,Q,Hd,h,w]
     heads = bbox_mask.shape[2]
-
-    ctx = jnp.repeat(src_proj, Q, axis=0)  # [B*Q, h, w, C]
     att = bbox_mask.transpose(0, 1, 3, 4, 2).reshape(B * Q, h, w, heads)
-    fused = jnp.concatenate([ctx, att.astype(src_proj.dtype)], axis=-1)
 
     if query_chunk and query_chunk < B * Q:
         if (B * Q) % query_chunk:
@@ -177,17 +174,26 @@ def mask_head_forward(
             )
         # statically-unrolled chunks (a python loop reuses the same flax
         # submodule, so params are shared; lax.map would hide the module
-        # call from flax's param machinery)
+        # call from flax's param machinery). Each chunk gathers ONLY its own
+        # per-pair context/laterals — nothing Q-repeated is materialized at
+        # full B*Q (the blowup this option exists to prevent; the stride-4
+        # raw lateral alone would be tens of GB at Q=900).
         n = (B * Q) // query_chunk
-        chunks = fused.reshape(n, query_chunk, h, w, C + heads)
-        fpn_rep = [jnp.repeat(f, Q, axis=0).reshape(
-            n, query_chunk, *f.shape[1:]) for f in fpns]
-        outs = [
-            mask_head_mod(chunks[i], [f[i] for f in fpn_rep])
-            for i in range(n)
-        ]
+        img_idx = np.arange(B * Q) // Q  # pair -> image, (b, q) raster order
+        outs = []
+        for i in range(n):
+            sl = slice(i * query_chunk, (i + 1) * query_chunk)
+            ctx_i = src_proj[img_idx[sl]]  # [qc, h, w, C]
+            fused_i = jnp.concatenate(
+                [ctx_i, att[sl].astype(src_proj.dtype)], axis=-1
+            )
+            outs.append(
+                mask_head_mod(fused_i, [f[img_idx[sl]] for f in fpns])
+            )
         masks = jnp.concatenate(outs, axis=0)
     else:
+        ctx = jnp.repeat(src_proj, Q, axis=0)  # [B*Q, h, w, C]
+        fused = jnp.concatenate([ctx, att.astype(src_proj.dtype)], axis=-1)
         masks = mask_head_mod(fused, fpns)
     return masks.reshape(B, Q, masks.shape[-2], masks.shape[-1])
 

@@ -219,6 +219,9 @@ def load_resume(path: str, state: Any):
     # would otherwise be read twice: once here, once in load_checkpoint).
     try:
         struct = _ckptr().metadata(path)
+        # orbax StepMetadata wraps the tree in .item_metadata (keys() works
+        # there); older orbax returned the tree metadata directly
+        struct = getattr(struct, "item_metadata", struct)
         top_keys = set(struct.keys()) if hasattr(struct, "keys") else set()
     except Exception:  # older layouts: fall back to a data restore
         struct = _ckptr().restore(path)
@@ -235,7 +238,11 @@ def load_resume(path: str, state: Any):
         best_ema=jax.tree.map(jnp.copy, loaded),
         model_ema=jax.tree.map(jnp.copy, loaded),
     )
-    return state, int(meta.get("epoch", -1)) + 1, meta
+    # params-only checkpoint: do NOT advance start_epoch — the reference only
+    # sets start_epoch when optimizer+lr_scheduler+epoch are all present in
+    # the checkpoint (main.py:239-245); a fresh opt_state with a skipped-ahead
+    # epoch counter would misalign the step-based lr schedule
+    return state, 0, meta
 
 
 class BestTracker:

@@ -70,7 +70,8 @@ def train_step_burnin(
             encoder_fn=encoder_fn,
         )
         losses = criterion(out, batch["labels"], batch["boxes"],
-                           batch["valid"], ccfg)
+                           batch["valid"], ccfg,
+                           gt_masks=batch.get("masks"))
         total = weighted_total(losses, weight_dict)
         return total, (losses, out["new_global_proto"], out["new_amount"])
 
@@ -120,7 +121,8 @@ def train_step_plain(
             dn_rng=dn_rng, train=True, domain_adapt=False,
         )
         losses = criterion(out, batch["labels"], batch["boxes"],
-                           batch["valid"], ccfg)
+                           batch["valid"], ccfg,
+                           gt_masks=batch.get("masks"))
         return weighted_total(losses, weight_dict), losses
 
     (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -144,7 +146,7 @@ def train_step_plain(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "tx", "ccfg", "canvas_hw", "num_select",
-                     "max_pseudo", "ema_decay"),
+                     "max_pseudo", "ema_decay", "teacher_model"),
     donate_argnums=(0,),
 )
 def train_step_self_training(
@@ -159,17 +161,26 @@ def train_step_self_training(
     num_select: int = 300,
     max_pseudo: int = 100,
     ema_decay: float = 0.0,
+    teacher_model=None,       # cross-architecture distillation: a DIFFERENT
+    teacher_params=None,      # (e.g. parity-config) model provides the
+                              # pseudo labels instead of the student's EMA
 ):
     rng, dn_rng = _split_rng(state)
     B = batch["images"].shape[0]
     half = B // 2
 
-    # --- teacher pseudo-labels on weak-aug target half (engine.py:199-215) ---
+    # --- teacher pseudo-labels on weak-aug target half (engine.py:199-215).
+    # Default teacher: the student's own EMA (reference self-training).
+    # Distillation mode (no reference equivalent): pass teacher_model +
+    # teacher_params, e.g. a parity-architecture DATR teacher labeling for a
+    # fast-config (fewer-sampling-points) student — the migration path onto
+    # the opt-in throughput variant (configs/DINO/DINO_4scale_fast.py). ---
     tgt_images = batch["images"][half:]
     tgt_mask = batch["pad_mask"][half:]
-    teacher_out = model.apply(
-        state.ema_teacher, tgt_images, tgt_mask, train=False
-    )
+    t_model = teacher_model if teacher_model is not None else model
+    t_params = teacher_params if teacher_params is not None \
+        else state.ema_teacher
+    teacher_out = t_model.apply(t_params, tgt_images, tgt_mask, train=False)
     p_boxes, p_labels, p_valid, img_has = pseudo_labels_from_outputs(
         jax.lax.stop_gradient(teacher_out["pred_logits"]),
         jax.lax.stop_gradient(teacher_out["pred_boxes"]),

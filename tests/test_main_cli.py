@@ -105,6 +105,26 @@ def test_burnin_then_self_training_relaunch(tmp_path):
         "--resume", str(burn_dir / "best_ema_teacher"),
     )
 
+    # precedence: an explicit --resume must win over output_dir's own
+    # auto-resume checkpoint (reference fills args.resume from
+    # output_dir/checkpoint.pth only when --resume is absent,
+    # main.py:226-245)
+    import shutil
+
+    prec_dir = tmp_path / "prec"
+    prec_dir.mkdir()
+    shutil.copytree(burn_dir / "checkpoint", prec_dir / "checkpoint")
+    shutil.copy(burn_dir / "checkpoint.meta.json",
+                prec_dir / "checkpoint.meta.json")
+    _run(
+        cfg, prec_dir, "--eval",
+        "--resume", str(burn_dir / "best_ema_teacher"),
+    )
+    # the logger's file handler was bound to the first output_dir in this
+    # process; the explicit-resume line must have been logged
+    log_text = (burn_dir / "log.txt").read_text()
+    assert "resumed from" in log_text and "best_ema_teacher" in log_text
+
 
 @pytest.mark.slow
 def test_eval_flag(tmp_path):

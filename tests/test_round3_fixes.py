@@ -106,7 +106,11 @@ def test_load_resume_params_only_and_full(tmp_path):
         np.asarray(resumed.model_ema["params"]["w"]), 2.0)
     np.testing.assert_allclose(
         np.asarray(resumed.ema_teacher["params"]["w"]), 2.0)
-    assert start == 6
+    # params-only checkpoints do NOT advance the epoch: the reference only
+    # sets start_epoch when optimizer+lr_scheduler+epoch all resume
+    # (main.py:239-245) — a fresh opt_state with a skipped-ahead epoch would
+    # misalign the step-based lr schedule
+    assert start == 0
 
     # full TrainState checkpoint
     full = os.path.join(out, "checkpoint")
