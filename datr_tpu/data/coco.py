@@ -21,52 +21,23 @@ from PIL import Image
 from .strong_aug import strong_augment
 
 
-def _rle_counts_from_string(s) -> List[int]:
-    """COCO compressed-RLE counts string -> run lengths (the LEB128-style
-    varint + delta coding of pycocotools maskApi.c rleFrString)."""
-    if isinstance(s, str):
-        s = s.encode()
-    counts: List[int] = []
-    i = 0
-    while i < len(s):
-        x = 0
-        k = 0
-        more = True
-        while more:
-            c = s[i] - 48
-            x |= (c & 0x1F) << (5 * k)
-            more = bool(c & 0x20)
-            i += 1
-            k += 1
-            if not more and (c & 0x10):
-                x |= -1 << (5 * k)
-        if len(counts) > 2:
-            x += counts[-2]
-        counts.append(x)
-    return counts
-
-
 def decode_segmentation(seg, h: int, w: int) -> np.ndarray:
     """COCO 'segmentation' field -> binary mask [h, w] uint8.
 
     Handles polygon lists (rasterized with PIL — same fill convention as
     pycocotools' polygon rasterizer up to boundary-pixel rounding), and
     uncompressed / compressed RLE dicts (column-major runs starting with
-    zeros, maskApi.c rleDecode). Reference: ConvertCocoPolysToMask's
-    convert_coco_poly_to_mask (frPyObjects + decode), datasets/coco.py."""
+    zeros, maskApi.c rleDecode — utils/rle.py). Reference:
+    ConvertCocoPolysToMask's convert_coco_poly_to_mask (frPyObjects +
+    decode), datasets/coco.py."""
     if isinstance(seg, dict):  # RLE
+        from ..utils.rle import counts_from_string, decode_counts
+
         counts = seg["counts"]
         if isinstance(counts, (str, bytes)):
-            counts = _rle_counts_from_string(counts)
+            counts = counts_from_string(counts)
         rh, rw = seg.get("size", (h, w))
-        m = np.zeros(rh * rw, np.uint8)
-        pos = 0
-        val = 0
-        for c in counts:
-            m[pos:pos + c] = val
-            pos += c
-            val = 1 - val
-        return m.reshape(rw, rh).T  # COCO RLE is column-major
+        return decode_counts(counts, rh, rw).astype(np.uint8)
     from PIL import ImageDraw
 
     out = Image.new("L", (w, h), 0)
@@ -156,19 +127,40 @@ class CocoDetectionDataset:
         the reference evaluates against the original COCO API GT
         (datasets/coco_eval.py:22-56) rather than the filtered train
         targets."""
-        boxes, labels, iscrowd, areas = [], [], [], []
+        boxes, labels, iscrowd, areas, masks = [], [], [], [], []
         for a in self.index.anns_by_image[image_id]:
             x, y, bw, bh = a["bbox"]
             boxes.append([x, y, x + bw, y + bh])
             labels.append(a["category_id"])
             iscrowd.append(bool(a.get("iscrowd", 0)))
             areas.append(float(a.get("area", bw * bh)))
-        return {
+            if self.return_masks:
+                masks.append(a.get("segmentation", []))
+        out = {
             "boxes": np.asarray(boxes, np.float64).reshape(-1, 4),
             "labels": np.asarray(labels, np.int64),
             "iscrowd": np.asarray(iscrowd, bool),
             "areas": np.asarray(areas, np.float64),
         }
+        if self.return_masks:
+            # GT RLEs for segm-AP evaluation (pycocotools loads these via
+            # annToRLE; crowd anns are usually compressed-RLE dicts)
+            from ..utils.rle import counts_from_string, encode_mask
+
+            info = self.index.images[image_id]
+            h, w = int(info["height"]), int(info["width"])
+            rles = []
+            for seg in masks:
+                if isinstance(seg, dict):
+                    c = seg["counts"]
+                    rles.append(np.asarray(
+                        counts_from_string(c)
+                        if isinstance(c, (str, bytes)) else c, np.int64))
+                else:
+                    rles.append(encode_mask(decode_segmentation(seg, h, w)))
+            out["masks"] = rles
+            out["mask_size"] = (h, w)
+        return out
 
 
 class ConcatDetectionDataset:

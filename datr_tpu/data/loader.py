@@ -270,6 +270,9 @@ class EvalLoader:
             "images": _stack(items, "image"),
             "pad_mask": _stack(items, "pad_mask"),
             "orig_sizes": _stack(items, "orig_size").astype(np.float32),
+            # unpadded (h, w) on the canvas — the segm eval path crops the
+            # upsampled masks to this before resizing to orig_sizes
+            "real_sizes": _stack(items, "real_size"),
             "image_ids": _stack(items, "image_id"),
             "batch_valid": valid,
             "boxes": _stack(items, "boxes"),

@@ -125,12 +125,14 @@ class CocoPanopticDataset:
         """Raw GT (crowd kept, segment areas) for evaluation, same contract
         as CocoDetectionDataset.eval_annotations."""
         ann_info = self._ann(self._id2idx[image_id])
-        boxes, labels, iscrowd, areas = [], [], [], []
+        boxes, labels, iscrowd, areas, rles = [], [], [], [], []
+        hw = (0, 0)
         if "segments_info" in ann_info:
             id_map = rgb2id(np.asarray(
                 Image.open(os.path.join(
                     self.ann_folder, ann_info["file_name"])).convert("RGB"),
                 np.uint8))
+            hw = id_map.shape
             for s in ann_info["segments_info"]:
                 mask = id_map == s["id"]
                 if not mask.any():
@@ -140,9 +142,17 @@ class CocoPanopticDataset:
                 labels.append(s["category_id"])
                 iscrowd.append(bool(s.get("iscrowd", 0)))
                 areas.append(float(s.get("area", mask.sum())))
-        return {
+                if self.return_masks:
+                    from ..utils.rle import encode_mask
+
+                    rles.append(encode_mask(mask))
+        out = {
             "boxes": np.asarray(boxes, np.float64).reshape(-1, 4),
             "labels": np.asarray(labels, np.int64),
             "iscrowd": np.asarray(iscrowd, bool),
             "areas": np.asarray(areas, np.float64),
         }
+        if self.return_masks:
+            out["masks"] = rles
+            out["mask_size"] = tuple(int(x) for x in hw)
+        return out

@@ -163,13 +163,28 @@ def evaluate(
     num_select: int = 300, logger=None, print_freq: int = 50,
     save_results_path: Optional[str] = None,
     nms_iou_threshold: float = -1.0,
+    segm: bool = False,
 ) -> Dict:
     """Run detection eval, return the 12 COCO stats
     (engine.py:349-513 -> stats['coco_eval_bbox']). With save_results_path,
     raw per-image gt/pred arrays are dumped for offline diffing (equivalent
     of --save_results, engine.py:433-492). nms_iou_threshold > 0 applies the
-    reference's optional class-aware eval NMS (dino.py:989-992,1136)."""
+    reference's optional class-aware eval NMS (dino.py:989-992,1136).
+
+    segm=True additionally evaluates mask AP (reference iou_types
+    ('bbox','segm') when args.masks, engine.py:364,514-517 ->
+    stats['coco_eval_masks']); requires a with_masks model and a dataset
+    whose eval_annotations provide GT mask RLEs (return_masks=True).
+    Single-host only — ragged RLEs don't ride the fixed-shape merge."""
     evaluator = CocoEvaluator(categories)
+    evaluator_m = None
+    if segm:
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "segm eval is single-host (ragged mask RLEs are not "
+                "gathered across processes)"
+            )
+        evaluator_m = CocoEvaluator(categories, iou_type="segm")
     dumped = [] if save_results_path else None
     ml = MetricLogger(logger=logger)
     # raw GT (crowd annotations + annotation areas) when the dataset
@@ -187,7 +202,8 @@ def evaluate(
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("images", "pad_mask", "orig_sizes")}
         res = eval_step(params, arrays, model, num_select=num_select,
-                        nms_iou_threshold=float(nms_iou_threshold))
+                        nms_iou_threshold=float(nms_iou_threshold),
+                        with_masks=bool(evaluator_m is not None))
         res = jax.device_get(res)
         max_boxes = batch["boxes"].shape[1]
         for i in range(len(batch["image_ids"])):
@@ -223,6 +239,34 @@ def evaluate(
                 int(batch["image_ids"][i]),
                 det_boxes=db, det_scores=ds, det_labels=dl, **gt_kw,
             )
+            if evaluator_m is not None:
+                if raw_gt is None:
+                    raise ValueError(
+                        "segm eval needs dataset.eval_annotations"
+                    )
+                ann = raw_gt(int(batch["image_ids"][i]))
+                if "masks" not in ann:
+                    raise ValueError(
+                        "segm eval needs GT mask RLEs — build the val "
+                        "dataset with return_masks=True"
+                    )
+                from .models.segmentation import det_mask_rles
+
+                ml_i = np.asarray(res["mask_logits"][i])
+                if "valid" in res:
+                    ml_i = ml_i[dv]
+                det_rles = det_mask_rles(
+                    ml_i, tuple(batch["images"].shape[1:3]),
+                    tuple(batch["real_sizes"][i]), (oh, ow),
+                )
+                evaluator_m.add_image(
+                    int(batch["image_ids"][i]),
+                    det_boxes=db, det_scores=ds, det_labels=dl,
+                    gt_boxes=ann["boxes"], gt_labels=ann["labels"],
+                    gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
+                    gt_masks=ann["masks"], det_masks=det_rles,
+                    mask_size=ann["mask_size"],
+                )
             if multi:
                 rec = dict(
                     image_id=int(batch["image_ids"][i]),
@@ -259,7 +303,16 @@ def evaluate(
         logger.info(
             "COCO stats: AP=%.4f AP50=%.4f AP75=%.4f" % tuple(stats[:3])
         )
-    return {"coco_eval_bbox": stats, "ap50": stats[1]}
+    out = {"coco_eval_bbox": stats, "ap50": stats[1]}
+    if evaluator_m is not None:
+        m_stats = evaluator_m.summarize()
+        if logger:
+            logger.info(
+                "COCO segm stats: AP=%.4f AP50=%.4f AP75=%.4f"
+                % tuple(m_stats[:3])
+            )
+        out["coco_eval_masks"] = m_stats  # reference engine.py:514-517
+    return out
 
 
 def test(params, model, loader: Iterable, output_dir: str,

@@ -196,7 +196,10 @@ def main(args):
         train_ds = build_dataset("train", cfg.dataset_file, args.data_root,
                                  cfg.get("strong_aug", True),
                                  return_masks=cfg.get("masks", False))
-        val_ds = build_dataset("val", cfg.dataset_file, args.data_root)
+        # masks=True: val GT masks feed the segm-AP evaluator (reference
+        # iou_types ('bbox','segm'), engine.py:364)
+        val_ds = build_dataset("val", cfg.dataset_file, args.data_root,
+                               return_masks=cfg.get("masks", False))
         categories = val_ds.category_ids() or list(
             range(1, cfg.num_classes)
         )
@@ -311,6 +314,10 @@ def main(args):
     # reference dino.py:989-992,1136: PostProcess gets the config's
     # nms_iou_threshold (>0 enables class-aware eval NMS)
     nms_thr = float(cfg.get("nms_iou_threshold") or -1.0)
+    # masks=True adds the segm-AP evaluator (reference iou_types
+    # ('bbox','segm') when args.masks, engine.py:364,514-517); synthetic
+    # smoke datasets carry no GT masks
+    segm_eval = bool(cfg.get("masks")) and not args.synthetic
 
     if args.test:
         # reference --test (main.py:59, engine.py:527): dump raw COCO-format
@@ -329,7 +336,7 @@ def main(args):
             cfg.num_select, logger,
             save_results_path=os.path.join(args.output_dir, "results.npz")
             if args.save_results else None,
-            nms_iou_threshold=nms_thr,
+            nms_iou_threshold=nms_thr, segm=segm_eval,
         )
         logger.info(json.dumps(stats))
         return
@@ -420,19 +427,20 @@ def main(args):
         # --- per-epoch eval: student + EMA teacher (+ best-EMA after
         # burn-in), best families keyed on AP50 (main.py:416-515) ---
         stats = evaluate(state.params, model, val_loader, categories,
-                         cfg.num_select, logger, nms_iou_threshold=nms_thr)
+                         cfg.num_select, logger, nms_iou_threshold=nms_thr,
+                         segm=segm_eval)
         best.update("checkpoint_best_regular", stats["ap50"],
                     jax.device_get(state.params), epoch)
         t_stats = evaluate(state.ema_teacher, model, val_loader,
                            categories, cfg.num_select, logger,
-                           nms_iou_threshold=nms_thr)
+                           nms_iou_threshold=nms_thr, segm=segm_eval)
         best.update("best_ema_teacher", t_stats["ap50"],
                     jax.device_get(state.ema_teacher), epoch)
         if cfg.get("use_ema"):
             # 4th family: the --use_ema ModelEma track (main.py:448-457)
             e_stats = evaluate(state.model_ema, model, val_loader,
                                categories, cfg.num_select, logger,
-                               nms_iou_threshold=nms_thr)
+                               nms_iou_threshold=nms_thr, segm=segm_eval)
             best.update("checkpoint_best_ema", e_stats["ap50"],
                         jax.device_get(state.model_ema), epoch)
         log_line = {
@@ -447,7 +455,7 @@ def main(args):
         if epoch >= burn_epochs:
             b_stats = evaluate(state.best_ema, model, val_loader,
                                categories, cfg.num_select, logger,
-                               nms_iou_threshold=nms_thr)
+                               nms_iou_threshold=nms_thr, segm=segm_eval)
             best.update("best_ema_model", b_stats["ap50"],
                         jax.device_get(state.best_ema), epoch)
             log_line["ap50_best_ema"] = b_stats["ap50"]

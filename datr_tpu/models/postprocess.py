@@ -46,7 +46,12 @@ def postprocess(
     h, w = target_sizes[:, 0], target_sizes[:, 1]
     scale = jnp.stack([w, h, w, h], axis=-1).astype(boxes.dtype)
     boxes = boxes * scale[:, None, :]
-    return {"scores": scores, "labels": labels, "boxes": boxes}
+    # 'queries': which decoder query produced each detection — lets the
+    # segm path gather the matching pred_masks rows (reference
+    # PostProcessSegm assumes 1:1 query/detection order; the flat
+    # (queries x classes) top-k here can select a query several times)
+    return {"scores": scores, "labels": labels, "boxes": boxes,
+            "queries": topk_queries}
 
 
 def postprocess_with_nms(
@@ -72,6 +77,7 @@ def postprocess_with_nms(
         "scores": jnp.where(keep_valid, take(res["scores"]), -1.0),
         "labels": take(res["labels"]),
         "boxes": take(res["boxes"]),
+        "queries": take(res["queries"]),
         "valid": keep_valid,
     }
 

@@ -267,6 +267,58 @@ def loss_masks(
     }
 
 
+def _bilinear_np(x: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Half-pixel-centers bilinear resize (torch F.interpolate
+    align_corners=False) for [..., H, W] numpy arrays."""
+    h, w = x.shape[-2], x.shape[-1]
+    ys = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    a = x[..., y0[:, None], x0[None, :]]
+    b = x[..., y0[:, None], x1[None, :]]
+    c = x[..., y1[:, None], x0[None, :]]
+    d = x[..., y1[:, None], x1[None, :]]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
+def det_mask_rles(
+    mask_logits: np.ndarray,   # [S, h4, w4] per-detection stride-4 logits
+    canvas_hw: Tuple[int, int],
+    real_hw: Tuple[int, int],   # unpadded (h, w) on the canvas
+    orig_hw: Tuple[int, int],   # original image (h, w)
+    chunk: int = 32,
+) -> List[np.ndarray]:
+    """Finish detection masks on the host: bilinear-upsample the stride-4
+    logits to the padded canvas, threshold at probability 0.5 (= logit 0),
+    crop each image's valid region, nearest-resize to the original size,
+    RLE-encode (reference PostProcessSegm, segmentation.py:230-250 — there
+    the CPU tail runs per image too; ragged original sizes keep this off
+    the jit path). Chunked over detections to bound peak memory."""
+    from ..utils.rle import encode_mask
+
+    H, W = canvas_hw
+    ih, iw = int(real_hw[0]), int(real_hw[1])
+    oh, ow = int(orig_hw[0]), int(orig_hw[1])
+    yi = np.floor(np.arange(oh) * (ih / oh)).astype(np.int64)
+    xi = np.floor(np.arange(ow) * (iw / ow)).astype(np.int64)
+    out: List[np.ndarray] = []
+    S = mask_logits.shape[0]
+    for s in range(0, S, chunk):
+        up = _bilinear_np(
+            np.asarray(mask_logits[s:s + chunk], np.float32), H, W
+        )
+        binm = up[:, :ih, :iw] > 0.0  # sigmoid(x) > 0.5 <=> x > 0
+        binm = binm[:, yi[:, None], xi[None, :]]
+        out.extend(encode_mask(m) for m in binm)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # postprocessors
 # ---------------------------------------------------------------------------

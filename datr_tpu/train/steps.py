@@ -233,26 +233,37 @@ def train_step_self_training(
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "num_select",
-                                    "nms_iou_threshold", "not_to_xyxy"))
+                                    "nms_iou_threshold", "not_to_xyxy",
+                                    "with_masks"))
 def eval_step(params, batch, model, num_select: int = 300,
-              nms_iou_threshold: float = -1.0, not_to_xyxy: bool = False):
+              nms_iou_threshold: float = -1.0, not_to_xyxy: bool = False,
+              with_masks: bool = False):
     """Forward + postprocess for evaluation (engine.py:349-421).
 
     nms_iou_threshold > 0 enables the reference's optional class-aware NMS
     (dino.py:989-992,1136 — PostProcess(nms_iou_threshold=args.nms_iou_
     threshold)); the result then carries a `valid` mask for the fixed-shape
     NMS output. not_to_xyxy keeps boxes cxcywh (reference engine.test,
-    engine.py:572)."""
+    engine.py:572). with_masks adds per-detection stride-4 mask logits
+    ('mask_logits' [B, num_select, h4, w4], reference postprocessors['segm']
+    path engine.py:415-417) gathered by each detection's source query."""
     from ..models.postprocess import postprocess, postprocess_with_nms
 
     out = model.apply(params, batch["images"], batch["pad_mask"], train=False)
     if nms_iou_threshold and nms_iou_threshold > 0:
-        return postprocess_with_nms(
+        res = postprocess_with_nms(
             out["pred_logits"], out["pred_boxes"], batch["orig_sizes"],
             num_select=num_select, nms_iou_threshold=nms_iou_threshold,
             max_out=num_select,
         )
-    return postprocess(
-        out["pred_logits"], out["pred_boxes"], batch["orig_sizes"],
-        num_select=num_select, not_to_xyxy=not_to_xyxy,
-    )
+    else:
+        res = postprocess(
+            out["pred_logits"], out["pred_boxes"], batch["orig_sizes"],
+            num_select=num_select, not_to_xyxy=not_to_xyxy,
+        )
+    if with_masks:
+        pm = out["pred_masks"].astype(jnp.float32)  # [B, Q, h4, w4]
+        res["mask_logits"] = jnp.take_along_axis(
+            pm, res["queries"][:, :, None, None], axis=1
+        )
+    return res
