@@ -32,7 +32,10 @@ CLASS_PALETTE = [
 
 
 def run_inference(model, params, pil_img: Image.Image, canvas_hw,
-                  num_select=300, threshold=0.2):
+                  num_select=300, threshold=0.2, with_masks=False):
+    """with_masks=True (requires a with_masks model) additionally returns
+    original-size binary instance masks [N, H, W] for the kept
+    detections."""
     oh, ow = get_size_with_aspect_ratio(pil_img.size, 800, 1333)
     resized = pil_img.resize((ow, oh), Image.BILINEAR)
     ex = finalize_example(resized, {"boxes": np.zeros((0, 4), np.float32),
@@ -52,7 +55,22 @@ def run_inference(model, params, pil_img: Image.Image, canvas_hw,
         [pil_img.size[0], pil_img.size[1],
          pil_img.size[0], pil_img.size[1]], np.float32,
     )
-    return boxes, res["labels"][0][keep], res["scores"][0][keep]
+    labels = res["labels"][0][keep]
+    scores = res["scores"][0][keep]
+    if not with_masks:
+        return boxes, labels, scores
+    from .models.segmentation import det_mask_rles
+    from .utils.rle import decode_counts
+
+    w0, h0 = pil_img.size
+    pm = np.asarray(out["pred_masks"][0], np.float32)  # [Q, h4, w4]
+    # ex["real_size"] is the ACTUAL unpadded extent on the canvas —
+    # finalize_example rescales when the 800/1333 resize exceeds the canvas
+    rles = det_mask_rles(pm[res["queries"][0][keep]], canvas_hw,
+                         tuple(ex["real_size"]), (h0, w0))
+    masks = (np.stack([decode_counts(c, h0, w0) for c in rles])
+             if rles else np.zeros((0, h0, w0), bool))
+    return boxes, labels, scores, masks
 
 
 def main():
@@ -86,10 +104,16 @@ def main():
         params = restored
 
     img = Image.open(args.image).convert("RGB")
-    boxes, labels, scores = run_inference(
+    with_masks = bool(getattr(model, "with_masks", False))
+    r = run_inference(
         model, params, img, canvas_hw, cfg.get("num_select", 300),
-        args.threshold,
+        args.threshold, with_masks=with_masks,
     )
+    boxes, labels, scores = r[:3]
+    if with_masks and len(r) == 4 and len(r[3]):
+        from .utils.visualizer import draw_masks
+
+        img = draw_masks(img, r[3], labels)
     draw = ImageDraw.Draw(img)
     for b, l, s in zip(boxes, labels, scores):
         color = CLASS_PALETTE[int(l) % len(CLASS_PALETTE)]

@@ -303,7 +303,7 @@ def det_mask_rles(
     from ..utils.rle import encode_mask
 
     H, W = canvas_hw
-    ih, iw = int(real_hw[0]), int(real_hw[1])
+    ih, iw = min(int(real_hw[0]), H), min(int(real_hw[1]), W)
     oh, ow = int(orig_hw[0]), int(orig_hw[1])
     yi = np.floor(np.arange(oh) * (ih / oh)).astype(np.int64)
     xi = np.floor(np.arange(ow) * (iw / ow)).astype(np.int64)

@@ -60,6 +60,27 @@ def draw_boxes(
     return out
 
 
+def draw_masks(
+    img: Image.Image,
+    masks: np.ndarray,  # [N, H, W] binary (image-sized)
+    labels: Optional[np.ndarray] = None,
+    alpha: float = 0.45,
+) -> Image.Image:
+    """Alpha-blend instance masks in per-class palette colors (capability of
+    the reference COCOVisualizer's mask rendering, util/visualizer.py:58 —
+    there via matplotlib polygons)."""
+    base = np.asarray(img.copy(), np.float32)
+    for i, m in enumerate(np.asarray(masks)):
+        if m.shape != base.shape[:2]:
+            raise ValueError(f"mask {i} shape {m.shape} != image "
+                             f"{base.shape[:2]}")
+        lab = int(labels[i]) if labels is not None else i
+        color = np.array(PALETTE[lab % len(PALETTE)], np.float32)
+        sel = np.asarray(m, bool)
+        base[sel] = (1 - alpha) * base[sel] + alpha * color
+    return Image.fromarray(np.clip(base, 0, 255).astype(np.uint8), "RGB")
+
+
 def save_pseudo_label_debug(
     image_norm: np.ndarray,  # [H, W, 3] normalized (target-domain weak view)
     pseudo: Dict[str, np.ndarray],  # boxes (cxcywh, real-size-normalized),
