@@ -174,16 +174,14 @@ def evaluate(
     segm=True additionally evaluates mask AP (reference iou_types
     ('bbox','segm') when args.masks, engine.py:364,514-517 ->
     stats['coco_eval_masks']); requires a with_masks model and a dataset
-    whose eval_annotations provide GT mask RLEs (return_masks=True).
-    Single-host only — ragged RLEs don't ride the fixed-shape merge."""
+    whose eval_annotations provide GT mask RLEs (return_masks=True). On a
+    pod, detection RLEs ride a length-padded flat-buffer allgather
+    (_merge_segm_across_processes) — GT comes from the shared annotation
+    file on each host."""
     evaluator = CocoEvaluator(categories)
     evaluator_m = None
+    segm_records = []
     if segm:
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "segm eval is single-host (ragged mask RLEs are not "
-                "gathered across processes)"
-            )
         evaluator_m = CocoEvaluator(categories, iou_type="segm")
     dumped = [] if save_results_path else None
     ml = MetricLogger(logger=logger)
@@ -267,6 +265,11 @@ def evaluate(
                     gt_masks=ann["masks"], det_masks=det_rles,
                     mask_size=ann["mask_size"],
                 )
+                if multi:
+                    segm_records.append(dict(
+                        image_id=int(batch["image_ids"][i]),
+                        boxes=db, scores=ds, labels=dl, rles=det_rles,
+                    ))
             if multi:
                 rec = dict(
                     image_id=int(batch["image_ids"][i]),
@@ -298,6 +301,8 @@ def evaluate(
         # counts), so the allgather shapes always line up
         _merge_across_processes(evaluator, det_records, raw_gt,
                                 num_select, max_boxes or 1)
+        if evaluator_m is not None:
+            _merge_segm_across_processes(evaluator_m, segm_records, raw_gt)
     stats = evaluator.summarize()
     if logger:
         logger.info(
@@ -434,4 +439,70 @@ def _merge_across_processes(evaluator, det_records, raw_gt, num_select,
                 det_scores=ds[keep],
                 det_labels=np.asarray(g_labels[p, i])[keep],
                 **gt_kw,
+            )
+
+
+def _merge_segm_across_processes(evaluator_m, segm_records, raw_gt):
+    """Gather every process's segm-shard detections (mask RLEs are ragged,
+    so they travel as ONE flat int64 buffer per process, padded to the
+    global max length — the exact-data equivalent of the reference's pickle
+    all_gather, misc.py:96-136). GT always comes from the shared annotation
+    file (segm eval requires raw annotations with masks).
+
+    Buffer layout per image: [image_id, D] then per det [label, len(counts),
+    counts...]; float payload per det rides a parallel [N_det, 5] array
+    (score, box xyxy) padded the same way."""
+    from jax.experimental import multihost_utils
+
+    ints: list = []
+    floats: list = []
+    for r in segm_records:
+        ints += [r["image_id"], len(r["scores"])]
+        for j in range(len(r["scores"])):
+            c = np.asarray(r["rles"][j], np.int64)
+            ints += [int(r["labels"][j]), len(c)]
+            ints += c.tolist()
+            floats.append([float(r["scores"][j]), *map(float, r["boxes"][j])])
+    ibuf = np.asarray(ints, np.int64)
+    fbuf = (np.asarray(floats, np.float64).reshape(-1, 5)
+            if floats else np.zeros((0, 5)))
+    lens = multihost_utils.process_allgather(
+        np.array([ibuf.size, fbuf.shape[0]], np.int64)
+    )  # [P, 2]
+    pad_i = np.zeros((int(lens[:, 0].max()),), np.int64)
+    pad_i[: ibuf.size] = ibuf
+    pad_f = np.zeros((int(lens[:, 1].max()), 5), np.float64)
+    pad_f[: fbuf.shape[0]] = fbuf
+    g_i, g_f = multihost_utils.process_allgather((pad_i, pad_f))
+    me = jax.process_index()
+    for p in range(jax.process_count()):
+        if p == me:
+            continue
+        buf = np.asarray(g_i[p][: int(lens[p, 0])])
+        fl = np.asarray(g_f[p][: int(lens[p, 1])])
+        pos = 0
+        det = 0
+        while pos < buf.size:
+            iid, D = int(buf[pos]), int(buf[pos + 1])
+            pos += 2
+            labels, scores, boxes, rles = [], [], [], []
+            for _ in range(D):
+                lab, L = int(buf[pos]), int(buf[pos + 1])
+                pos += 2
+                rles.append(buf[pos: pos + L].copy())
+                pos += L
+                labels.append(lab)
+                scores.append(fl[det, 0])
+                boxes.append(fl[det, 1:5])
+                det += 1
+            ann = raw_gt(iid)
+            evaluator_m.add_image(
+                iid,
+                det_boxes=np.asarray(boxes, np.float64).reshape(-1, 4),
+                det_scores=np.asarray(scores),
+                det_labels=np.asarray(labels, np.int64),
+                gt_boxes=ann["boxes"], gt_labels=ann["labels"],
+                gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
+                gt_masks=ann["masks"], det_masks=rles,
+                mask_size=ann["mask_size"],
             )

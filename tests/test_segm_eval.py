@@ -201,3 +201,94 @@ def test_engine_evaluate_segm(tmp_path):
     assert len(stats["coco_eval_masks"]) == 12
     assert all(np.isfinite(v) for v in stats["coco_eval_masks"])
     assert len(stats["coco_eval_bbox"]) == 12
+
+
+def test_merge_segm_across_processes(monkeypatch):
+    """Simulated 2-process segm merge: the padded flat-buffer allgather must
+    reproduce the single-evaluator stats exactly."""
+    import jax
+
+    from datr_tpu.engine import _merge_segm_across_processes
+
+    h, w = 40, 50
+    rng = np.random.default_rng(5)
+
+    def make_img(iid):
+        g = np.array([[5 + iid, 5, 25 + iid, 20]], np.float64)
+        d = g + rng.integers(-2, 3, size=(1, 4))
+        gm = masks_to_rles(np.stack([_rect_mask(h, w, b) for b in g]))
+        dm = masks_to_rles(np.stack([_rect_mask(h, w, b) for b in d]))
+        return dict(
+            boxes=d, scores=np.array([0.8]), labels=np.array([1]),
+            rles=dm,
+            gt=dict(boxes=g, labels=np.array([1]),
+                    iscrowd=np.array([False]), areas=np.array([300.0]),
+                    masks=gm, mask_size=(h, w)),
+        )
+
+    data = {iid: make_img(iid) for iid in (1, 2, 3, 4)}
+    raw_gt = lambda iid: data[iid]["gt"]  # noqa: E731
+
+    # single-evaluator reference over all 4 images
+    ref = CocoEvaluator([1], iou_type="segm")
+    for iid, r in data.items():
+        ref.add_image(iid, det_boxes=r["boxes"], det_scores=r["scores"],
+                      det_labels=r["labels"], det_masks=r["rles"],
+                      **{f"gt_{k}": v for k, v in r["gt"].items()
+                         if k not in ("masks", "mask_size")},
+                      gt_masks=r["gt"]["masks"],
+                      mask_size=r["gt"]["mask_size"])
+    ref_stats = ref.summarize()
+
+    def pack(shard):
+        ints, floats = [], []
+        for iid in shard:
+            r = data[iid]
+            ints += [iid, len(r["scores"])]
+            for j in range(len(r["scores"])):
+                c = np.asarray(r["rles"][j], np.int64)
+                ints += [int(r["labels"][j]), len(c)] + c.tolist()
+                floats.append([float(r["scores"][j]),
+                               *map(float, r["boxes"][j])])
+        return (np.asarray(ints, np.int64),
+                np.asarray(floats, np.float64).reshape(-1, 5))
+
+    shards = [[1, 3], [2, 4]]
+    bufs = [pack(s) for s in shards]
+
+    def fake_allgather(tree):
+        if not isinstance(tree, tuple):  # the [isize, fsize] length gather
+            return np.stack([
+                np.array([b[0].size, b[1].shape[0]], np.int64)
+                for b in bufs
+            ])
+        mi = max(b[0].size for b in bufs)
+        mf = max(b[1].shape[0] for b in bufs)
+        gi = np.zeros((2, mi), np.int64)
+        gf = np.zeros((2, mf, 5), np.float64)
+        for p, b in enumerate(bufs):
+            gi[p, : b[0].size] = b[0]
+            gf[p, : b[1].shape[0]] = b[1]
+        return gi, gf
+
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+
+    ev = CocoEvaluator([1], iou_type="segm")
+    records = []
+    for iid in shards[0]:
+        r = data[iid]
+        ev.add_image(iid, det_boxes=r["boxes"], det_scores=r["scores"],
+                     det_labels=r["labels"], det_masks=r["rles"],
+                     gt_boxes=r["gt"]["boxes"], gt_labels=r["gt"]["labels"],
+                     gt_iscrowd=r["gt"]["iscrowd"],
+                     gt_areas=r["gt"]["areas"], gt_masks=r["gt"]["masks"],
+                     mask_size=r["gt"]["mask_size"])
+        records.append(dict(image_id=iid, boxes=r["boxes"],
+                            scores=r["scores"], labels=r["labels"],
+                            rles=r["rles"]))
+    _merge_segm_across_processes(ev, records, raw_gt)
+    np.testing.assert_allclose(ev.summarize(), ref_stats, atol=1e-12)
