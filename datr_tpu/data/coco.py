@@ -37,6 +37,14 @@ def decode_segmentation(seg, h: int, w: int) -> np.ndarray:
         if isinstance(counts, (str, bytes)):
             counts = counts_from_string(counts)
         rh, rw = seg.get("size", (h, w))
+        if (int(rh), int(rw)) != (h, w):
+            # a foreign-size RLE would train the mask head on spatially
+            # misaligned GT (or crash np.stack against polygon masks at the
+            # image size) — fail loudly; the reference crashes here too
+            raise ValueError(
+                f"RLE size {(rh, rw)} != image size {(h, w)} — "
+                "re-encode the annotation at the image resolution"
+            )
         return decode_counts(counts, rh, rw).astype(np.uint8)
     from PIL import ImageDraw
 
@@ -120,13 +128,15 @@ class CocoDetectionDataset:
                                else np.zeros((0, h, w), np.uint8))
         return img, target
 
-    def eval_annotations(self, image_id: int):
+    def eval_annotations(self, image_id: int, with_masks: bool = False):
         """Raw GT for COCO evaluation: unlike the training targets, crowd
         annotations are KEPT (they become ignore regions in the evaluator)
         and the annotation 'area' field is used when present — matching how
         the reference evaluates against the original COCO API GT
         (datasets/coco_eval.py:22-56) rather than the filtered train
-        targets."""
+        targets. with_masks=True (the segm-AP eval path asks for it
+        explicitly) adds GT mask RLEs — decoupled from return_masks so a
+        val dataset never pays per-image mask decode in its load() path."""
         boxes, labels, iscrowd, areas, masks = [], [], [], [], []
         for a in self.index.anns_by_image[image_id]:
             x, y, bw, bh = a["bbox"]
@@ -134,7 +144,7 @@ class CocoDetectionDataset:
             labels.append(a["category_id"])
             iscrowd.append(bool(a.get("iscrowd", 0)))
             areas.append(float(a.get("area", bw * bh)))
-            if self.return_masks:
+            if with_masks:
                 masks.append(a.get("segmentation", []))
         out = {
             "boxes": np.asarray(boxes, np.float64).reshape(-1, 4),
@@ -142,7 +152,7 @@ class CocoDetectionDataset:
             "iscrowd": np.asarray(iscrowd, bool),
             "areas": np.asarray(areas, np.float64),
         }
-        if self.return_masks:
+        if with_masks:
             # GT RLEs for segm-AP evaluation (pycocotools loads these via
             # annToRLE; crowd anns are usually compressed-RLE dicts)
             from ..utils.rle import counts_from_string, encode_mask
@@ -193,10 +203,10 @@ class ConcatDetectionDataset:
         part, j = self._locate(i)
         return part.load(j)
 
-    def eval_annotations(self, image_id: int):
+    def eval_annotations(self, image_id: int, with_masks: bool = False):
         for p in self.parts:
             if image_id in p.index.anns_by_image:
-                return p.eval_annotations(image_id)
+                return p.eval_annotations(image_id, with_masks=with_masks)
         raise KeyError(image_id)
 
 

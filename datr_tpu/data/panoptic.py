@@ -121,9 +121,10 @@ class CocoPanopticDataset:
             target["masks"] = kept_masks
         return img, target
 
-    def eval_annotations(self, image_id: int):
+    def eval_annotations(self, image_id: int, with_masks: bool = False):
         """Raw GT (crowd kept, segment areas) for evaluation, same contract
-        as CocoDetectionDataset.eval_annotations."""
+        as CocoDetectionDataset.eval_annotations (masks only on request —
+        the segm eval path passes with_masks=True)."""
         ann_info = self._ann(self._id2idx[image_id])
         boxes, labels, iscrowd, areas, rles = [], [], [], [], []
         hw = (0, 0)
@@ -142,7 +143,7 @@ class CocoPanopticDataset:
                 labels.append(s["category_id"])
                 iscrowd.append(bool(s.get("iscrowd", 0)))
                 areas.append(float(s.get("area", mask.sum())))
-                if self.return_masks:
+                if with_masks:
                     from ..utils.rle import encode_mask
 
                     rles.append(encode_mask(mask))
@@ -152,7 +153,7 @@ class CocoPanopticDataset:
             "iscrowd": np.asarray(iscrowd, bool),
             "areas": np.asarray(areas, np.float64),
         }
-        if self.return_masks:
+        if with_masks:
             out["masks"] = rles
             out["mask_size"] = tuple(int(x) for x in hw)
         return out

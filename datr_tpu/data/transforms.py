@@ -211,9 +211,18 @@ def finalize_example(
     target: Optional[Dict],
     canvas_hw: Tuple[int, int],
     max_boxes: int,
+    mask_stride: int = 4,
 ) -> Dict[str, np.ndarray]:
     """Normalize + pad to the static canvas; boxes -> normalized cxcywh padded
-    to max_boxes (da_transforms.py Normalize :266-287 + static batching)."""
+    to max_boxes (da_transforms.py Normalize :266-287 + static batching).
+
+    GT masks are emitted at 1/mask_stride of the canvas as area-averaged
+    SOFT targets in [0, 1] (f16): the mask head predicts at stride 4, and
+    computing the loss there instead of upsampling all max_boxes padded
+    predictions to the canvas (the reference upsamples only the ~N matched
+    pairs, dino.py loss_masks) cuts loss memory and the host->device mask
+    transfer 16x while area averaging keeps thin structures in the target.
+    mask_stride=1 reproduces full-resolution binary masks."""
     H, W = canvas_hw
     u8 = np.asarray(img, np.uint8)
     h, w = u8.shape[0], u8.shape[1]
@@ -268,13 +277,25 @@ def finalize_example(
             valid[:n] = True
         out.update(boxes=boxes, labels=labels, valid=valid)
         if target.get("masks") is not None:
-            # static [max_boxes, H, W] uint8 canvas masks aligned with
-            # boxes/valid (criterion resizes matched predictions to this
-            # resolution, reference dino.py loss_masks)
-            mk = np.zeros((max_boxes, H, W), np.uint8)
+            s = max(1, int(mask_stride))
+            gh, gw = -(-H // s), -(-W // s)
             tm = target["masks"]
-            if n and len(tm):
-                mk[:n, :h, :w] = tm[:n]
+            if s == 1:
+                mk = np.zeros((max_boxes, H, W), np.float16)
+                if n and len(tm):
+                    mk[:n, :h, :w] = tm[:n]
+            else:
+                # area-average to the stride grid: pad the OCCUPIED region
+                # (not the whole canvas) to a stride multiple (padding is
+                # background) then block-mean
+                mk = np.zeros((max_boxes, gh, gw), np.float16)
+                if n and len(tm):
+                    ph, pw = -(-h // s) * s, -(-w // s) * s
+                    buf = np.zeros((n, ph, pw), np.uint8)
+                    buf[:, :h, :w] = tm[:n]
+                    mk[:n, : ph // s, : pw // s] = buf.reshape(
+                        n, ph // s, s, pw // s, s
+                    ).mean((2, 4), dtype=np.float32)
             out["masks"] = mk
         if "image_id" in target:
             out["image_id"] = np.int64(target["image_id"])

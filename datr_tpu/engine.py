@@ -215,7 +215,11 @@ def evaluate(
                 dv = np.asarray(res["valid"][i], bool)
                 db, ds, dl = db[dv], ds[dv], dl[dv]
             if raw_gt is not None:
-                ann = raw_gt(int(batch["image_ids"][i]))
+                # one call per image; GT mask RLEs are requested explicitly
+                # (and only) when segm eval consumes them
+                ann = (raw_gt(int(batch["image_ids"][i]), with_masks=True)
+                       if evaluator_m is not None
+                       else raw_gt(int(batch["image_ids"][i])))
                 gt_kw = dict(
                     gt_boxes=ann["boxes"], gt_labels=ann["labels"],
                     gt_iscrowd=ann["iscrowd"], gt_areas=ann["areas"],
@@ -242,15 +246,14 @@ def evaluate(
                     raise ValueError(
                         "segm eval needs dataset.eval_annotations"
                     )
-                ann = raw_gt(int(batch["image_ids"][i]))
                 if "masks" not in ann:
                     raise ValueError(
-                        "segm eval needs GT mask RLEs — build the val "
-                        "dataset with return_masks=True"
+                        "segm eval needs GT mask RLEs from "
+                        "eval_annotations(with_masks=True)"
                     )
                 from .models.segmentation import det_mask_rles
 
-                ml_i = np.asarray(res["mask_logits"][i])
+                ml_i = np.asarray(res["mask_logits"][i], np.float32)
                 if "valid" in res:
                     ml_i = ml_i[dv]
                 det_rles = det_mask_rles(

@@ -153,9 +153,10 @@ def main(args):
 
         t_cfg = cfg
         if args.distill_teacher_config:
-            t_cfg = apply_overrides(
-                load_config(args.distill_teacher_config), args.options
-            )
+            # loaded verbatim: --options target the STUDENT config; applying
+            # them here would silently mutate the teacher architecture (and
+            # then fail the checkpoint load, or worse, not fail)
+            t_cfg = load_config(args.distill_teacher_config)
         distill_model, _, _ = build_model(t_cfg)
         # param shapes are input-size independent (sine PE, convs) — init
         # on a small dummy canvas just to get the template tree. Init in
@@ -196,10 +197,12 @@ def main(args):
         train_ds = build_dataset("train", cfg.dataset_file, args.data_root,
                                  cfg.get("strong_aug", True),
                                  return_masks=cfg.get("masks", False))
-        # masks=True: val GT masks feed the segm-AP evaluator (reference
-        # iou_types ('bbox','segm'), engine.py:364)
+        # val never decodes per-image masks: segm-AP GT comes on demand
+        # from eval_annotations(with_masks=True) RLEs, so return_masks
+        # here would only burn loader time padding [max_boxes, H, W]
+        # canvases that eval drops
         val_ds = build_dataset("val", cfg.dataset_file, args.data_root,
-                               return_masks=cfg.get("masks", False))
+                               return_masks=False)
         categories = val_ds.category_ids() or list(
             range(1, cfg.num_classes)
         )

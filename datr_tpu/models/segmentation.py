@@ -16,10 +16,10 @@ TPU-first redesign notes:
   index map (torch F.interpolate mode='nearest'), not jax.image.resize's
   half-pixel convention — bit parity on odd FPN sizes.
 - Mask losses take the padded+masked static-shape targets of our criterion
-  (masks [B, T, Hm, Wm], valid [B, T]); matched predictions are resized
-  bilinearly (align_corners=False ≙ jax.image.resize 'linear') to the
-  target resolution, as the reference does (segmentation.py:593 in
-  dino.py loss_masks).
+  (masks [B, T, h4, w4] soft in [0, 1], valid [B, T]) and run at the
+  stride-4 prediction resolution against area-averaged GT — see
+  loss_masks for why this replaces the reference's upsample-to-GT-size
+  (segmentation.py:593 in dino.py loss_masks) under static pair padding.
 - Panoptic assembly (argmax over query masks, stuff-class merging, small
   segment filtering) is host-side numpy: ragged per-image output formatting,
   off the jit path, exactly like the reference's CPU postprocessor.
@@ -245,19 +245,29 @@ def mask_focal_loss(inputs: jnp.ndarray, targets: jnp.ndarray,
 
 def loss_masks(
     pred_masks: jnp.ndarray,   # [B, N, h, w] logits
-    gt_masks: jnp.ndarray,     # [B, T, Hm, Wm] binary
+    gt_masks: jnp.ndarray,     # [B, T, Hm, Wm] targets in [0, 1] (soft ok)
     gt_valid: jnp.ndarray,     # [B, T]
     assign: jnp.ndarray,       # [B, T] matched query per target
     num_boxes: jnp.ndarray,
 ) -> Dict[str, jnp.ndarray]:
     """Criterion 'masks' term (reference dino.py:576-604): gather the
-    matched predictions, upsample to GT resolution, focal + dice."""
+    matched predictions, focal + dice.
+
+    TPU redesign: the loss is computed at the PREDICTION (stride-4)
+    resolution against area-averaged soft GT (data/transforms.py
+    finalize_example mask_stride) — the reference instead upsamples the ~N
+    matched predictions to full GT resolution, which with our static
+    [B, T=max_boxes] pair padding would materialize multi-GB canvas-size
+    activations forward and backward. Predictions are only resized if the
+    GT grid differs from the head's output grid (then bilinearly, matching
+    the reference's align_corners=False interpolate)."""
     B, T = gt_valid.shape
     assign_safe = jnp.where(gt_valid, assign, 0)
     src = jnp.take_along_axis(
         pred_masks, assign_safe[:, :, None, None], axis=1
     )  # [B, T, h, w]
-    src = bilinear_resize(src, gt_masks.shape[-2:])
+    if src.shape[-2:] != gt_masks.shape[-2:]:
+        src = bilinear_resize(src, gt_masks.shape[-2:])
     src = src.reshape(B * T, -1)
     tgt = gt_masks.reshape(B * T, -1)
     pv = gt_valid.reshape(B * T)

@@ -271,7 +271,7 @@ def criterion(
     target_domain: bool = False,
     num_boxes: jnp.ndarray | None = None,
     img_mask: jnp.ndarray | None = None,
-    gt_masks: jnp.ndarray | None = None,  # [B, T, Hm, Wm] binary
+    gt_masks: jnp.ndarray | None = None,  # [B, T, h4, w4] in [0, 1]
 ) -> Dict[str, jnp.ndarray]:
     """Compute every loss for one domain's outputs.
 

@@ -262,7 +262,10 @@ def eval_step(params, batch, model, num_select: int = 300,
             num_select=num_select, not_to_xyxy=not_to_xyxy,
         )
     if with_masks:
-        pm = out["pred_masks"].astype(jnp.float32)  # [B, Q, h4, w4]
+        # f16 halves the per-image device->host fetch (tens of MB of
+        # stride-4 logits over the relay); logits are well within f16 range
+        # and the host tail upcasts before the bilinear finish
+        pm = out["pred_masks"].astype(jnp.float16)  # [B, Q, h4, w4]
         res["mask_logits"] = jnp.take_along_axis(
             pm, res["queries"][:, :, None, None], axis=1
         )

@@ -18,7 +18,18 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.int64)
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _counts_to_flat(counts: np.ndarray, size: int) -> np.ndarray:
+    """Run-length counts -> flat column-major uint8 pixels of `size`
+    (trailing background runs may be omitted in the encoding)."""
+    vals = np.zeros((len(counts),), np.uint8)
+    vals[1::2] = 1
+    flat = np.repeat(vals, counts)
+    if flat.size < size:
+        flat = np.concatenate([flat, np.zeros((size - flat.size,), np.uint8)])
+    return flat[:size]
 
 
 # ---------------------------------------------------------------------------
@@ -42,12 +53,7 @@ def encode_mask(mask: np.ndarray) -> np.ndarray:
 def decode_counts(counts: Sequence[int], h: int, w: int) -> np.ndarray:
     """Run-length counts -> [H, W] bool (column-major runs)."""
     counts = np.asarray(counts, np.int64)
-    vals = np.zeros((len(counts),), np.uint8)
-    vals[1::2] = 1
-    flat = np.repeat(vals, counts)
-    if flat.size < h * w:  # trailing background may be omitted
-        flat = np.concatenate([flat, np.zeros((h * w - flat.size,), np.uint8)])
-    return flat[: h * w].reshape(w, h).T.astype(bool)
+    return _counts_to_flat(counts, h * w).reshape(w, h).T.astype(bool)
 
 
 def area_of_counts(counts: Sequence[int]) -> int:
@@ -110,14 +116,7 @@ def _pack(counts_list, h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
     areas = np.zeros((n,), np.int64)
     for i, c in enumerate(counts_list):
         c = np.asarray(c, np.int64)
-        vals = np.zeros((len(c),), np.uint8)
-        vals[1::2] = 1
-        flat = np.repeat(vals, c)
-        if flat.size < h * w:
-            flat = np.concatenate(
-                [flat, np.zeros((h * w - flat.size,), np.uint8)]
-            )
-        packed[i] = np.packbits(flat[: h * w])
+        packed[i] = np.packbits(_counts_to_flat(c, h * w))
         areas[i] = int(c[1::2].sum())
     return packed, areas
 
@@ -137,7 +136,12 @@ def mask_iou(d_counts: Sequence, g_counts: Sequence, iscrowd: np.ndarray,
     step = max(1, int(4e7 // max(gp.shape[0] * gp.shape[1], 1)))
     for s in range(0, D, step):
         e = min(D, s + step)
-        inter = _POPCNT[dp[s:e, None, :] & gp[None, :, :]].sum(-1)
+        # uint8 LUT + int64-accumulated sum: the LUT result stays the same
+        # size as the AND buffer the chunking was sized to bound (an int64
+        # LUT would transiently allocate 8x that)
+        inter = _POPCNT[dp[s:e, None, :] & gp[None, :, :]].sum(
+            -1, dtype=np.int64
+        )
         union = np.where(iscrowd[None, :], da[s:e, None],
                          da[s:e, None] + ga[None, :] - inter)
         iou[s:e] = np.where(union > 0, inter / np.maximum(union, 1), 0.0)

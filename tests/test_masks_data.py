@@ -148,11 +148,20 @@ def test_finalize_pads_masks_to_canvas():
         "image_id": 7,
         "orig_size": np.array([h, w], np.int64),
     }
+    # default mask_stride=4: area-averaged soft targets on the stride grid
     out = finalize_example(img, tgt, (48, 64), max_boxes=5)
-    assert out["masks"].shape == (5, 48, 64)
-    np.testing.assert_array_equal(out["masks"][0, :h, :w], mask)
-    assert out["masks"][0, h:].sum() == 0 and out["masks"][1:].sum() == 0
+    assert out["masks"].shape == (5, 12, 16)
+    assert out["masks"].dtype == np.float16
+    # block means: mask=1 on rows 5:10, cols 5:15
+    assert float(out["masks"][0, 1, 2]) == 0.75   # rows 4:8 x cols 8:12
+    assert float(out["masks"][0, 2, 3]) == 0.375  # rows 8:12 x cols 12:16
+    assert out["masks"][0, 3:].sum() == 0 and out["masks"][1:].sum() == 0
     assert out["valid"][0] and not out["valid"][1:].any()
+    # mask_stride=1 reproduces full-resolution canvas masks
+    out1 = finalize_example(img, tgt, (48, 64), max_boxes=5, mask_stride=1)
+    assert out1["masks"].shape == (5, 48, 64)
+    np.testing.assert_array_equal(out1["masks"][0, :h, :w], mask)
+    assert out1["masks"][0, h:].sum() == 0 and out1["masks"][1:].sum() == 0
 
 
 def _write_coco_with_masks(root, n=2, hw=(48, 64)):
@@ -241,8 +250,11 @@ def test_single_loader_masks_and_train_step(tmp_path):
     loader = make_single_loader(ds, 2, (64, 64), tf, max_boxes=4, seed=0,
                                 num_threads=1)
     batch = next(iter(loader))
-    assert batch["masks"].shape == (2, 4, 64, 64)
+    # stride-4 soft targets on the 64x64 canvas (finalize_example)
+    assert batch["masks"].shape == (2, 4, 16, 16)
+    assert batch["masks"].dtype == np.float16
     assert batch["masks"].sum() > 0
+    assert float(batch["masks"].max()) <= 1.0
 
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(batch["images"])
