@@ -498,7 +498,10 @@ def _merge_segm_across_processes(evaluator_m, segm_records, raw_gt):
                 scores.append(fl[det, 0])
                 boxes.append(fl[det, 1:5])
                 det += 1
-            ann = raw_gt(iid)
+            # GT mask RLEs must be requested explicitly — eval_annotations
+            # only includes them when asked (with_masks), and this merge
+            # path is segm-only
+            ann = raw_gt(iid, with_masks=True)
             evaluator_m.add_image(
                 iid,
                 det_boxes=np.asarray(boxes, np.float64).reshape(-1, 4),

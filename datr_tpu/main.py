@@ -477,6 +477,12 @@ def main(args):
     tb.close()
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (`datr-train`, pyproject.toml) — same surface as
+    `python -m datr_tpu.main`."""
     parser = argparse.ArgumentParser("DATR-TPU", parents=[get_args_parser()])
     main(parser.parse_args())
+
+
+if __name__ == "__main__":
+    cli()

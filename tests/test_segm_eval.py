@@ -227,7 +227,14 @@ def test_merge_segm_across_processes(monkeypatch):
         )
 
     data = {iid: make_img(iid) for iid in (1, 2, 3, 4)}
-    raw_gt = lambda iid: data[iid]["gt"]  # noqa: E731
+    def raw_gt(iid, with_masks=False):
+        # mimic eval_annotations: masks travel ONLY on explicit request —
+        # the merge path must pass with_masks=True or this raises KeyError
+        gt = dict(data[iid]["gt"])
+        if not with_masks:
+            gt.pop("masks")
+            gt.pop("mask_size")
+        return gt
 
     # single-evaluator reference over all 4 images
     ref = CocoEvaluator([1], iou_type="segm")
