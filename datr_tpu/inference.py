@@ -73,6 +73,22 @@ def run_inference(model, params, pil_img: Image.Image, canvas_hw,
     return boxes, labels, scores, masks
 
 
+def load_eval_params(ckpt_path: str, ema: bool = False,
+                     teacher: bool = False):
+    """Load serving/eval params from an orbax checkpoint: the student
+    params, the --use_ema model_ema track, or the pseudo-label EMA teacher
+    (reference inference.py vs inference_ema_model.py)."""
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(ckpt_path)
+    if isinstance(restored, dict) and "params" in restored:
+        key = ("model_ema" if ema
+               else "ema_teacher" if teacher else "params")
+        # older checkpoints predate the model_ema family
+        return restored.get(key) or restored["params"]
+    return restored
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_file", "-c", required=True)
@@ -92,16 +108,7 @@ def main():
     model, _, _ = build_model(cfg)
     canvas_hw = (cfg.get("canvas_h", 800), cfg.get("canvas_w", 1344))
 
-    import orbax.checkpoint as ocp
-
-    restored = ocp.PyTreeCheckpointer().restore(args.ckpt)
-    if isinstance(restored, dict) and "params" in restored:
-        key = ("model_ema" if args.ema
-               else "ema_teacher" if args.teacher else "params")
-        # older checkpoints predate the model_ema family
-        params = restored.get(key) or restored["params"]
-    else:
-        params = restored
+    params = load_eval_params(args.ckpt, ema=args.ema, teacher=args.teacher)
 
     img = Image.open(args.image).convert("RGB")
     with_masks = bool(getattr(model, "with_masks", False))

@@ -1,0 +1,420 @@
+"""Dynamic-batching inference server — the production serving runtime.
+
+The reference ships single-image scripts only (`/root/reference/inference.py`,
+`inference_ema_model.py`: load → one forward → draw); it has no server. On
+TPU, efficient serving needs STATIC shapes and a pipelined dispatch path:
+
+  request → host preprocess (native C++ fused resize+normalize+pad,
+  `datr_tpu/native/image_ops.cpp`) → fixed canvas → micro-batch to a fixed
+  batch size → ONE pre-compiled jit(forward + postprocess) → per-request
+  detections in original-image pixel coordinates.
+
+Pipelining: JAX's async dispatch means the batcher thread can launch batch
+N+1 while batch N is still executing on the device; a separate collector
+thread blocks on the device→host fetches so dispatch never stalls on
+transfer latency (important through this environment's TPU relay). A bounded
+in-flight queue (depth `max_in_flight`) provides backpressure so HBM holds
+at most that many live batches.
+
+Components:
+  InferenceServer — request queue + micro-batcher + jitted step + futures
+  serve_http      — stdlib ThreadingHTTPServer JSON front-end
+  CLI             — python -m datr_tpu.serve -c CONFIG --ckpt CKPT --port P
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import native
+from .data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    get_size_with_aspect_ratio,
+)
+from .models.postprocess import postprocess
+
+
+class _Request:
+    __slots__ = ("image", "pad_mask", "orig_hw", "future", "t_enqueue")
+
+    def __init__(self, image, pad_mask, orig_hw, future):
+        self.image = image
+        self.pad_mask = pad_mask
+        self.orig_hw = orig_hw
+        self.future = future
+        self.t_enqueue = time.monotonic()
+
+
+class InferenceServer:
+    """Micro-batching detection server over one jit-compiled eval step.
+
+    Batches are always the static `batch_size`; short batches are padded
+    with zero images (their outputs are discarded). `submit` returns a
+    `concurrent.futures.Future` resolving to
+    {"boxes": [N,4] xyxy px, "scores": [N], "labels": [N]}.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        canvas_hw: Tuple[int, int] = (800, 1344),
+        batch_size: int = 2,
+        num_select: int = 300,
+        score_threshold: float = 0.2,
+        resize_short: int = 800,
+        resize_max: int = 1333,
+        batch_timeout_s: float = 0.02,
+        max_in_flight: int = 2,
+        max_queue: int = 256,
+        mesh=None,
+    ):
+        self.model = model
+        self.canvas_hw = tuple(canvas_hw)
+        self.batch_size = int(batch_size)
+        self.num_select = int(num_select)
+        self.score_threshold = float(score_threshold)
+        self.resize_short = int(resize_short)
+        self.resize_max = int(resize_max)
+        self.batch_timeout_s = float(batch_timeout_s)
+        # multi-chip serving: shard the micro-batch over the mesh 'data'
+        # axis (and params by the TP rules when the mesh has a 'model'
+        # axis) — jit propagates the input shardings, XLA inserts the
+        # collectives; img/s scales with the data-axis size
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.mesh import param_sharding_tree
+
+            dp = mesh.shape["data"]
+            if self.batch_size % dp:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"mesh data axis ({dp})"
+                )
+            self._params = jax.device_put(
+                params, param_sharding_tree(params, mesh)
+            )
+            self._img_sharding = NamedSharding(mesh, P("data", None, None, None))
+            self._mask_sharding = NamedSharding(mesh, P("data", None, None))
+        else:
+            self._params = jax.device_put(params)
+            self._img_sharding = self._mask_sharding = None
+
+        def _step(p, images, pad_mask):
+            out = model.apply(p, images, pad_mask, train=False)
+            # target_sizes (1,1): normalized boxes relative to the real
+            # (unpadded) extent — scaled to original pixels host-side per
+            # request (reference PostProcess semantics, dino.py:944-996)
+            ones = jnp.ones((images.shape[0], 2), jnp.float32)
+            res = postprocess(
+                out["pred_logits"], out["pred_boxes"], ones,
+                num_select=self.num_select,
+            )
+            return res["scores"], res["labels"], res["boxes"]
+
+        self._step = jax.jit(_step)
+
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(max_queue)
+        # bounded: backpressure on device dispatch (HBM holds <= this many
+        # live batches; the relay hides completion, so do not run unbounded)
+        self._in_flight: "queue.Queue" = queue.Queue(max(1, int(max_in_flight)))
+        self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "batches": 0, "batch_slots": 0,
+            "latency_sum_s": 0.0,
+        }
+        self._batcher = threading.Thread(
+            target=self._batch_loop, name="serve-batcher", daemon=True
+        )
+        self._collector = threading.Thread(
+            target=self._collect_loop, name="serve-collector", daemon=True
+        )
+        self._batcher.start()
+        self._collector.start()
+
+    # ---------------- client API ----------------
+
+    def warmup(self):
+        """Compile + first-dispatch outside the serving path."""
+        H, W = self.canvas_hw
+        z, m = self._put(
+            np.zeros((self.batch_size, H, W, 3), np.float32),
+            np.zeros((self.batch_size, H, W), bool),
+        )
+        r = self._step(self._params, z, m)
+        jax.block_until_ready(r)
+
+    def submit(self, img_u8: np.ndarray) -> Future:
+        """Enqueue one [h, w, 3] uint8 image; returns a Future."""
+        if self._stop.is_set():
+            raise RuntimeError("server is closed")
+        img_u8 = np.asarray(img_u8)
+        if img_u8.ndim != 3 or img_u8.shape[2] != 3:
+            raise ValueError(f"expected [h, w, 3] image, got {img_u8.shape}")
+        h0, w0 = img_u8.shape[:2]
+        image, pad_mask = self._preprocess(img_u8.astype(np.uint8))
+        fut: Future = Future()
+        self._queue.put(_Request(image, pad_mask, (h0, w0), fut))
+        return fut
+
+    def detect(self, img_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        """Synchronous single-image convenience wrapper."""
+        return self.submit(img_u8).result()
+
+    def stats(self) -> Dict[str, float]:
+        with self._stats_lock:
+            s = dict(self._stats)
+        n = max(1, s["batches"])
+        s["mean_batch_occupancy"] = s["batch_slots"] / (
+            n * self.batch_size
+        )
+        s["mean_latency_s"] = s["latency_sum_s"] / max(1, s["requests"])
+        return s
+
+    def close(self):
+        self._stop.set()
+        self._queue.put(None)  # wake the batcher
+        self._batcher.join(timeout=30)
+        self._in_flight.put(None)
+        self._collector.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---------------- pipeline threads ----------------
+
+    def _put(self, images: np.ndarray, masks: np.ndarray):
+        if self._img_sharding is not None:
+            return (jax.device_put(images, self._img_sharding),
+                    jax.device_put(masks, self._mask_sharding))
+        return jnp.asarray(images), jnp.asarray(masks)
+
+    def _preprocess(self, img_u8: np.ndarray):
+        H, W = self.canvas_hw
+        h, w = img_u8.shape[:2]
+        oh, ow = get_size_with_aspect_ratio(
+            (w, h), self.resize_short, self.resize_max
+        )
+        if oh > H or ow > W:  # canvas must fit the resized extent
+            s = min(H / oh, W / ow)
+            oh, ow = int(oh * s), int(ow * s)
+        canvas = native.resize_normalize_pad(
+            img_u8, (oh, ow), (H, W), IMAGENET_MEAN, IMAGENET_STD
+        )
+        pad_mask = np.ones((H, W), bool)
+        pad_mask[:oh, :ow] = False
+        return canvas, pad_mask
+
+    def _batch_loop(self):
+        H, W = self.canvas_hw
+        B = self.batch_size
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                break
+            items = [first]
+            deadline = time.monotonic() + self.batch_timeout_s
+            while len(items) < B:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._stop.set()
+                    break
+                items.append(nxt)
+            images = np.zeros((B, H, W, 3), np.float32)
+            masks = np.ones((B, H, W), bool)
+            for i, it in enumerate(items):
+                images[i] = it.image
+                masks[i] = it.pad_mask
+            try:
+                dev_images, dev_masks = self._put(images, masks)
+                res = self._step(self._params, dev_images, dev_masks)
+            except Exception as e:  # compile/dispatch failure → fail futures
+                for it in items:
+                    it.future.set_exception(e)
+                continue
+            # async dispatch: hand the device arrays to the collector and
+            # immediately start preprocessing/dispatching the next batch
+            self._in_flight.put((res, items))
+        # drain: fail anything still queued after stop
+        while True:
+            try:
+                it = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                it.future.set_exception(RuntimeError("server closed"))
+
+    def _collect_loop(self):
+        while True:
+            got = self._in_flight.get()
+            if got is None:
+                break
+            (scores_d, labels_d, boxes_d), items = got
+            try:
+                scores = np.asarray(jax.device_get(scores_d), np.float32)
+                labels = np.asarray(jax.device_get(labels_d))
+                boxes = np.asarray(jax.device_get(boxes_d), np.float32)
+            except Exception as e:
+                for it in items:
+                    it.future.set_exception(e)
+                continue
+            now = time.monotonic()
+            with self._stats_lock:
+                self._stats["batches"] += 1
+                self._stats["batch_slots"] += len(items)
+                self._stats["requests"] += len(items)
+                self._stats["latency_sum_s"] += sum(
+                    now - it.t_enqueue for it in items
+                )
+            for i, it in enumerate(items):
+                keep = scores[i] > self.score_threshold
+                h0, w0 = it.orig_hw
+                scale = np.array([w0, h0, w0, h0], np.float32)
+                b = boxes[i][keep] * scale
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, w0)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, h0)
+                it.future.set_result({
+                    "boxes": b,
+                    "scores": scores[i][keep],
+                    "labels": labels[i][keep],
+                })
+
+
+# ---------------- HTTP front-end ----------------
+
+
+def serve_http(server: InferenceServer, host: str = "127.0.0.1",
+               port: int = 8080, start: bool = True):
+    """JSON-over-HTTP front-end (stdlib only).
+
+    POST /detect   body = encoded image (PNG/JPEG/...) → {"boxes": [[x1,y1,
+                   x2,y2],...], "scores": [...], "labels": [...]}
+    GET  /healthz  → {"ok": true}
+    GET  /stats    → server.stats()
+
+    Returns the http.server instance; `start=False` skips serve_forever
+    (tests drive it from a thread).
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, server.stats())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(n)
+                from PIL import Image
+
+                img = np.asarray(
+                    Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8
+                )
+                res = server.submit(img).result(timeout=120)
+                self._send(200, {
+                    "boxes": res["boxes"].tolist(),
+                    "scores": res["scores"].tolist(),
+                    "labels": res["labels"].tolist(),
+                })
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, *a):  # keep stdout to the JSON log lines
+            pass
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    if start:
+        httpd.serve_forever()
+    return httpd
+
+
+# ---------------- CLI ----------------
+
+
+def main(argv: Optional[List[str]] = None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config_file", "-c", required=True)
+    ap.add_argument("--options", nargs="+", default=[])
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ema", action="store_true",
+                    help="serve the model_ema track")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--num_select", type=int, default=300)
+    ap.add_argument("--threshold", type=float, default=0.2)
+    ap.add_argument("--batch_timeout_ms", type=float, default=20.0)
+    args = ap.parse_args(argv)
+
+    from .config import apply_overrides, load_config
+    from .inference import load_eval_params
+    from .models import build_model
+
+    cfg = apply_overrides(load_config(args.config_file), args.options)
+    model, _, _ = build_model(cfg)
+    params = load_eval_params(args.ckpt, ema=args.ema)
+    canvas = (cfg.get("canvas_h", 800), cfg.get("canvas_w", 1344))
+
+    srv = InferenceServer(
+        model, params, canvas_hw=canvas, batch_size=args.batch_size,
+        num_select=args.num_select, score_threshold=args.threshold,
+        batch_timeout_s=args.batch_timeout_ms / 1e3,
+    )
+    print(json.dumps({"serve": "warmup (compile + first dispatch)"}))
+    srv.warmup()
+    print(json.dumps({
+        "serve": "ready", "host": args.host, "port": args.port,
+        "batch_size": args.batch_size, "canvas": list(canvas),
+    }))
+    try:
+        serve_http(srv, args.host, args.port)
+    finally:
+        srv.close()
+
+
+if __name__ == "__main__":
+    main()

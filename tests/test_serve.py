@@ -1,0 +1,208 @@
+"""Serving runtime tests: micro-batching correctness, single-vs-batched
+equivalence, timeout flush, pipelined throughput, HTTP front-end.
+
+The reference has no server (inference.py is one image per process); these
+pin the InferenceServer contract: batched results == direct forward, and a
+lone request is flushed by the batch timeout, not stuck waiting for a full
+batch.
+"""
+
+import io
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from datr_tpu.models.dino import DINO
+from datr_tpu.serve import InferenceServer, serve_http
+
+CANVAS = (96, 128)
+K = 4
+
+
+@pytest.fixture(scope="module")
+def tiny_model_params():
+    model = DINO(num_classes=K, num_queries=12, hidden_dim=32, nheads=2,
+                 enc_layers=1, dec_layers=1, dim_feedforward=64,
+                 dn_number=2, dn_single_pad=2, dn_labelbook_size=K,
+                 use_remat=False)
+    x = jnp.zeros((1, *CANVAS, 3))
+    m = jnp.zeros((1, *CANVAS), bool)
+    params = model.init(jax.random.PRNGKey(0), x, m, train=False)
+    return model, params
+
+
+def _server(model, params, **kw):
+    kw.setdefault("canvas_hw", CANVAS)
+    kw.setdefault("batch_size", 2)
+    kw.setdefault("num_select", 8)
+    kw.setdefault("score_threshold", 0.0)
+    kw.setdefault("resize_short", 64)
+    kw.setdefault("resize_max", 128)
+    kw.setdefault("batch_timeout_s", 0.05)
+    return InferenceServer(model, params, **kw)
+
+
+def _rand_img(rng, h, w):
+    return (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+
+def test_batched_equals_direct(tiny_model_params):
+    """A request served through the batching pipeline returns exactly what
+    a hand-built single forward on the same preprocessed canvas returns."""
+    model, params = tiny_model_params
+    rng = np.random.default_rng(0)
+    img = _rand_img(rng, 80, 110)
+    with _server(model, params) as srv:
+        res = srv.detect(img)
+
+        canvas, pad_mask = srv._preprocess(img)
+        images = np.zeros((2, *CANVAS, 3), np.float32)
+        masks = np.ones((2, *CANVAS), bool)
+        images[0], masks[0] = canvas, pad_mask
+        s, l, b = srv._step(srv._params, jnp.asarray(images),
+                            jnp.asarray(masks))
+    h0, w0 = img.shape[:2]
+    scale = np.array([w0, h0, w0, h0], np.float32)
+    want_b = np.clip(np.asarray(b)[0] * scale, 0,
+                     [w0, h0, w0, h0]).astype(np.float32)
+    np.testing.assert_allclose(res["scores"], np.asarray(s)[0], rtol=1e-6)
+    np.testing.assert_array_equal(res["labels"], np.asarray(l)[0])
+    np.testing.assert_allclose(res["boxes"], want_b, rtol=1e-5, atol=1e-4)
+    # boxes live in original-image pixel space
+    assert res["boxes"].shape == (8, 4)
+    assert (res["boxes"][:, 2] <= w0).all() and (res["boxes"][:, 3] <= h0).all()
+
+
+def test_lone_request_flushed_by_timeout(tiny_model_params):
+    """batch_size=4 but a single request must not wait forever."""
+    model, params = tiny_model_params
+    rng = np.random.default_rng(1)
+    with _server(model, params, batch_size=4,
+                 batch_timeout_s=0.02) as srv:
+        srv.warmup()
+        fut = srv.submit(_rand_img(rng, 60, 90))
+        res = fut.result(timeout=30)
+    assert len(res["scores"]) == 8
+    st = srv.stats()
+    assert st["batches"] == 1 and st["requests"] == 1
+    assert st["mean_batch_occupancy"] == pytest.approx(0.25)
+
+
+def test_many_requests_batched_and_independent(tiny_model_params):
+    """A burst of distinct images: every future resolves, per-image results
+    are independent of which batch/slot they landed in, and batching
+    actually happened (fewer batches than requests)."""
+    model, params = tiny_model_params
+    rng = np.random.default_rng(2)
+    imgs = [_rand_img(rng, 50 + 7 * i, 70 + 5 * i) for i in range(7)]
+    with _server(model, params, batch_size=4,
+                 batch_timeout_s=0.2) as srv:
+        srv.warmup()
+        futs = [srv.submit(im) for im in imgs]
+        got = [f.result(timeout=60) for f in futs]
+        with _server(model, params, batch_size=1) as one:
+            singles = [one.detect(im) for im in imgs]
+        st = srv.stats()
+    assert st["requests"] == 7 and st["batches"] < 7
+    for g, s in zip(got, singles):
+        np.testing.assert_allclose(g["scores"], s["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(g["labels"], s["labels"])
+        np.testing.assert_allclose(g["boxes"], s["boxes"],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_score_threshold_filters(tiny_model_params):
+    model, params = tiny_model_params
+    rng = np.random.default_rng(3)
+    with _server(model, params, score_threshold=1.1) as srv:
+        res = srv.detect(_rand_img(rng, 64, 64))
+    assert len(res["scores"]) == 0 and res["boxes"].shape == (0, 4)
+
+
+def test_submit_rejects_bad_shape_and_closed(tiny_model_params):
+    model, params = tiny_model_params
+    srv = _server(model, params)
+    with pytest.raises(ValueError):
+        srv.submit(np.zeros((32, 32), np.uint8))
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(np.zeros((32, 32, 3), np.uint8))
+
+
+def test_mesh_data_parallel_serving(tiny_model_params):
+    """Multi-chip serving: the micro-batch sharded over an 8-device 'data'
+    mesh returns the same detections as single-device serving."""
+    model, params = tiny_model_params
+    from datr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    imgs = [_rand_img(rng, 40 + 4 * i, 60 + 3 * i) for i in range(8)]
+    with _server(model, params, batch_size=8, mesh=mesh,
+                 batch_timeout_s=0.5) as srv:
+        srv.warmup()
+        futs = [srv.submit(im) for im in imgs]
+        got = [f.result(timeout=120) for f in futs]
+    with _server(model, params, batch_size=1) as one:
+        singles = [one.detect(im) for im in imgs]
+    for g, s in zip(got, singles):
+        np.testing.assert_allclose(g["scores"], s["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(g["labels"], s["labels"])
+        np.testing.assert_allclose(g["boxes"], s["boxes"],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_mesh_batch_divisibility(tiny_model_params):
+    model, params = tiny_model_params
+    from datr_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError):
+        _server(model, params, batch_size=3, mesh=make_mesh(8))
+
+
+def test_http_front_end(tiny_model_params):
+    model, params = tiny_model_params
+    rng = np.random.default_rng(4)
+    img = _rand_img(rng, 48, 72)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    with _server(model, params) as srv:
+        srv.warmup()
+        httpd = serve_http(srv, "127.0.0.1", 0, start=False)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            import json
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10
+            ) as r:
+                assert json.load(r)["ok"] is True
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=buf.getvalue(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.load(r)
+            assert len(out["boxes"]) == len(out["scores"]) == 8
+            want = srv.detect(img)
+            np.testing.assert_allclose(
+                np.array(out["boxes"]), want["boxes"], rtol=1e-4, atol=1e-3
+            )
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=10
+            ) as r:
+                st = json.load(r)
+            assert st["requests"] >= 1
+        finally:
+            httpd.shutdown()
+            httpd.server_close()

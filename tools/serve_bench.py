@@ -1,0 +1,110 @@
+"""Serving-path throughput bench: end-to-end img/s through the
+InferenceServer pipeline (host preprocess -> micro-batch -> jit forward ->
+postprocess -> device->host fetch of the detections).
+
+Unlike bench.py (pure device-step rate via the chained fori_loop method),
+this measures what a deployment sees, including the pipelined dispatch and
+the per-batch result fetches. Futures resolve only after jax.device_get of
+the real detections, so the wall-clock here is an honest completion signal
+even through this environment's TPU relay (the collector thread overlaps
+fetch latency with the next batch's dispatch).
+
+Usage: python tools/serve_bench.py [--batch 2] [--images 64] [--chip]
+  (default runs a tiny model on CPU as a smoke/pipeline check; --chip runs
+  the flagship DINO-R50 4-scale at the 800x1344 eval canvas)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--images", type=int, default=64)
+    ap.add_argument("--chip", action="store_true",
+                    help="flagship model at the real eval canvas")
+    ap.add_argument("--warm_images", type=int, default=8)
+    args = ap.parse_args()
+
+    if not args.chip:
+        jax.config.update("jax_platforms", "cpu")
+
+    from datr_tpu.models.dino import DINO
+    from datr_tpu.serve import InferenceServer
+
+    if args.chip:
+        canvas = (800, 1344)
+        model = DINO(
+            num_classes=9, num_queries=900, hidden_dim=256, nheads=8,
+            enc_layers=6, dec_layers=6, dim_feedforward=2048,
+            dn_number=100, dn_single_pad=20, dn_labelbook_size=9,
+            use_remat=False, dtype=jnp.bfloat16,
+        )
+        src_hw = (1024, 2048)  # Cityscapes-like input
+    else:
+        canvas = (96, 128)
+        model = DINO(
+            num_classes=4, num_queries=12, hidden_dim=32, nheads=2,
+            enc_layers=1, dec_layers=1, dim_feedforward=64,
+            dn_number=2, dn_single_pad=2, dn_labelbook_size=4,
+            use_remat=False,
+        )
+        src_hw = (120, 200)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, *canvas, 3))
+    m = jnp.zeros((1, *canvas), bool)
+    params = model.init(rng, x, m, train=False)
+
+    nprng = np.random.default_rng(0)
+    imgs = [
+        (nprng.random((*src_hw, 3)) * 255).astype(np.uint8)
+        for _ in range(max(8, args.batch * 2))
+    ]
+
+    srv = InferenceServer(
+        model, params, canvas_hw=canvas, batch_size=args.batch,
+        num_select=300 if args.chip else 8, score_threshold=0.0,
+        resize_short=800 if args.chip else 64,
+        resize_max=1333 if args.chip else 128,
+        batch_timeout_s=0.5,
+    )
+    try:
+        srv.warmup()
+        # warm the full path incl. result fetches (first fetch pays the
+        # one-time tunnel warm-up on the relay)
+        for f in [srv.submit(imgs[i % len(imgs)])
+                  for i in range(args.warm_images)]:
+            f.result(timeout=600)
+
+        t0 = time.perf_counter()
+        futs = [srv.submit(imgs[i % len(imgs)]) for i in range(args.images)]
+        for f in futs:
+            f.result(timeout=600)
+        dt = time.perf_counter() - t0
+        st = srv.stats()
+    finally:
+        srv.close()
+
+    print(json.dumps({
+        "metric": "serving images/sec (end-to-end, batch %d)" % args.batch,
+        "value": round(args.images / dt, 2),
+        "unit": "images/sec",
+        "images": args.images,
+        "mean_batch_occupancy": round(st["mean_batch_occupancy"], 3),
+        "mean_latency_s": round(st["mean_latency_s"], 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
