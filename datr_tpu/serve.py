@@ -47,12 +47,14 @@ from .models.postprocess import postprocess
 
 
 class _Request:
-    __slots__ = ("image", "pad_mask", "orig_hw", "future", "t_enqueue")
+    __slots__ = ("image", "pad_mask", "orig_hw", "real_hw", "future",
+                 "t_enqueue")
 
-    def __init__(self, image, pad_mask, orig_hw, future):
+    def __init__(self, image, pad_mask, orig_hw, real_hw, future):
         self.image = image
         self.pad_mask = pad_mask
         self.orig_hw = orig_hw
+        self.real_hw = real_hw  # unpadded (h, w) on the canvas
         self.future = future
         self.t_enqueue = time.monotonic()
 
@@ -80,6 +82,7 @@ class InferenceServer:
         max_in_flight: int = 2,
         max_queue: int = 256,
         mesh=None,
+        mask_top_k: int = 50,
     ):
         self.model = model
         self.canvas_hw = tuple(canvas_hw)
@@ -115,6 +118,12 @@ class InferenceServer:
             self._params = jax.device_put(params)
             self._img_sharding = self._mask_sharding = None
 
+        # instance-mask models: fetch stride-4 mask logits for the top
+        # mask_top_k detections only (static shape; bounds the per-batch
+        # device->host transfer), finish to original-size RLEs host-side
+        self._with_masks = bool(getattr(model, "with_masks", False))
+        self.mask_top_k = min(int(mask_top_k), self.num_select)
+
         def _step(p, images, pad_mask):
             out = model.apply(p, images, pad_mask, train=False)
             # target_sizes (1,1): normalized boxes relative to the real
@@ -125,6 +134,13 @@ class InferenceServer:
                 out["pred_logits"], out["pred_boxes"], ones,
                 num_select=self.num_select,
             )
+            if self._with_masks:
+                # scores from top_k are sorted descending, so [:k] is the
+                # k best detections; 'queries' maps them to decoder slots
+                q = res["queries"][:, : self.mask_top_k]
+                pm = jax.vmap(lambda m, i: m[i])(out["pred_masks"], q)
+                return (res["scores"], res["labels"], res["boxes"],
+                        pm.astype(jnp.float16))
             return res["scores"], res["labels"], res["boxes"]
 
         self._step = jax.jit(_step)
@@ -168,9 +184,9 @@ class InferenceServer:
         if img_u8.ndim != 3 or img_u8.shape[2] != 3:
             raise ValueError(f"expected [h, w, 3] image, got {img_u8.shape}")
         h0, w0 = img_u8.shape[:2]
-        image, pad_mask = self._preprocess(img_u8.astype(np.uint8))
+        image, pad_mask, real_hw = self._preprocess(img_u8.astype(np.uint8))
         fut: Future = Future()
-        self._queue.put(_Request(image, pad_mask, (h0, w0), fut))
+        self._queue.put(_Request(image, pad_mask, (h0, w0), real_hw, fut))
         return fut
 
     def detect(self, img_u8: np.ndarray) -> Dict[str, np.ndarray]:
@@ -222,7 +238,7 @@ class InferenceServer:
         )
         pad_mask = np.ones((H, W), bool)
         pad_mask[:oh, :ow] = False
-        return canvas, pad_mask
+        return canvas, pad_mask, (oh, ow)
 
     def _batch_loop(self):
         H, W = self.canvas_hw
@@ -277,11 +293,13 @@ class InferenceServer:
             got = self._in_flight.get()
             if got is None:
                 break
-            (scores_d, labels_d, boxes_d), items = got
+            res_d, items = got
             try:
-                scores = np.asarray(jax.device_get(scores_d), np.float32)
-                labels = np.asarray(jax.device_get(labels_d))
-                boxes = np.asarray(jax.device_get(boxes_d), np.float32)
+                scores = np.asarray(jax.device_get(res_d[0]), np.float32)
+                labels = np.asarray(jax.device_get(res_d[1]))
+                boxes = np.asarray(jax.device_get(res_d[2]), np.float32)
+                pred_masks = (np.asarray(jax.device_get(res_d[3]))
+                              if len(res_d) > 3 else None)
             except Exception as e:
                 for it in items:
                     it.future.set_exception(e)
@@ -301,11 +319,35 @@ class InferenceServer:
                 b = boxes[i][keep] * scale
                 b[:, 0::2] = np.clip(b[:, 0::2], 0, w0)
                 b[:, 1::2] = np.clip(b[:, 1::2], 0, h0)
-                it.future.set_result({
+                result = {
                     "boxes": b,
                     "scores": scores[i][keep],
                     "labels": labels[i][keep],
-                })
+                }
+                if pred_masks is not None:
+                    result["masks"] = self._finish_masks(
+                        pred_masks[i], np.nonzero(keep)[0], it
+                    )
+                it.future.set_result(result)
+
+    def _finish_masks(self, pm_i: np.ndarray, kept_idx: np.ndarray,
+                      it: _Request):
+        """Original-size uncompressed COCO RLEs for the kept detections.
+
+        pm_i holds masks for the top mask_top_k detections only; kept
+        detections ranked below that get None (scores are sorted, so with
+        a sane threshold this only trims the long tail)."""
+        from .models.segmentation import det_mask_rles
+
+        with_mask = kept_idx[kept_idx < self.mask_top_k]
+        rles = det_mask_rles(
+            pm_i[with_mask].astype(np.float32), self.canvas_hw,
+            it.real_hw, it.orig_hw,
+        )
+        out = [None] * len(kept_idx)
+        for slot, rle in zip(with_mask, rles):
+            out[int(np.searchsorted(kept_idx, slot))] = rle
+        return out
 
 
 # ---------------- HTTP front-end ----------------
@@ -355,11 +397,21 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
                     Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8
                 )
                 res = server.submit(img).result(timeout=120)
-                self._send(200, {
+                payload = {
                     "boxes": res["boxes"].tolist(),
                     "scores": res["scores"].tolist(),
                     "labels": res["labels"].tolist(),
-                })
+                }
+                if "masks" in res:
+                    h0, w0 = img.shape[:2]
+                    # uncompressed COCO RLE ({"size", "counts"}); None for
+                    # detections past the server's mask_top_k
+                    payload["masks"] = [
+                        None if r is None
+                        else {"size": [h0, w0], "counts": r.tolist()}
+                        for r in res["masks"]
+                    ]
+                self._send(200, payload)
             except Exception as e:
                 self._send(500, {"error": str(e)})
 

@@ -61,7 +61,7 @@ def test_batched_equals_direct(tiny_model_params):
     with _server(model, params) as srv:
         res = srv.detect(img)
 
-        canvas, pad_mask = srv._preprocess(img)
+        canvas, pad_mask, _ = srv._preprocess(img)
         images = np.zeros((2, *CANVAS, 3), np.float32)
         masks = np.ones((2, *CANVAS), bool)
         images[0], masks[0] = canvas, pad_mask
@@ -166,6 +166,41 @@ def test_mesh_batch_divisibility(tiny_model_params):
 
     with pytest.raises(ValueError):
         _server(model, params, batch_size=3, mesh=make_mesh(8))
+
+
+def test_masks_model_serving(tiny_model_params):
+    """A with_masks model serves per-detection RLE masks that match the
+    hand-finished det_mask_rles path on the same step outputs."""
+    from datr_tpu.models.segmentation import det_mask_rles
+    from datr_tpu.utils.rle import decode_counts
+
+    model = DINO(num_classes=K, num_queries=6, hidden_dim=128, nheads=8,
+                 enc_layers=1, dec_layers=2, dim_feedforward=32,
+                 dn_number=0, with_masks=True, use_remat=False)
+    x = jnp.zeros((1, *CANVAS, 3))
+    m = jnp.zeros((1, *CANVAS), bool)
+    params = model.init(jax.random.PRNGKey(1), x, m, train=False)
+
+    rng = np.random.default_rng(6)
+    img = _rand_img(rng, 70, 100)
+    with _server(model, params, num_select=6, mask_top_k=4) as srv:
+        res = srv.detect(img)
+        canvas, pad_mask, real_hw = srv._preprocess(img)
+        images = np.zeros((2, *CANVAS, 3), np.float32)
+        masks = np.ones((2, *CANVAS), bool)
+        images[0], masks[0] = canvas, pad_mask
+        s, l, b, pm = srv._step(srv._params, jnp.asarray(images),
+                                jnp.asarray(masks))
+    assert len(res["masks"]) == 6  # threshold 0 keeps all num_select
+    assert res["masks"][4] is None and res["masks"][5] is None  # > top_k
+    h0, w0 = img.shape[:2]
+    want = det_mask_rles(np.asarray(pm, np.float32)[0], CANVAS, real_hw,
+                         (h0, w0))
+    for got_rle, want_rle in zip(res["masks"][:4], want):
+        assert got_rle is not None
+        dm = decode_counts(got_rle, h0, w0)
+        np.testing.assert_array_equal(dm, decode_counts(want_rle, h0, w0))
+        assert dm.shape == (h0, w0)
 
 
 def test_http_front_end(tiny_model_params):
