@@ -83,6 +83,7 @@ class InferenceServer:
         max_queue: int = 256,
         mesh=None,
         mask_top_k: int = 50,
+        collector_threads: int = 2,
     ):
         self.model = model
         self.canvas_hw = tuple(canvas_hw)
@@ -134,14 +135,23 @@ class InferenceServer:
                 out["pred_logits"], out["pred_boxes"], ones,
                 num_select=self.num_select,
             )
+            # pack (scores, labels, boxes) into ONE [B, S, 6] f32 array:
+            # a result fetch is then a single device->host round-trip —
+            # through a high-latency link (this environment's relay, or
+            # DCN serving) per-array fetches dominate the serving rate
+            packed = jnp.concatenate(
+                [res["scores"][..., None],
+                 res["labels"].astype(jnp.float32)[..., None],
+                 res["boxes"].astype(jnp.float32)],
+                axis=-1,
+            )
             if self._with_masks:
                 # scores from top_k are sorted descending, so [:k] is the
                 # k best detections; 'queries' maps them to decoder slots
                 q = res["queries"][:, : self.mask_top_k]
                 pm = jax.vmap(lambda m, i: m[i])(out["pred_masks"], q)
-                return (res["scores"], res["labels"], res["boxes"],
-                        pm.astype(jnp.float16))
-            return res["scores"], res["labels"], res["boxes"]
+                return packed, pm.astype(jnp.float16)
+            return (packed,)
 
         self._step = jax.jit(_step)
 
@@ -158,11 +168,17 @@ class InferenceServer:
         self._batcher = threading.Thread(
             target=self._batch_loop, name="serve-batcher", daemon=True
         )
-        self._collector = threading.Thread(
-            target=self._collect_loop, name="serve-collector", daemon=True
-        )
+        # several collectors fetch different in-flight batches
+        # concurrently, overlapping the per-batch device->host round-trip
+        # latency (futures resolve independently, so order is free)
+        self._collectors = [
+            threading.Thread(target=self._collect_loop,
+                             name=f"serve-collector-{i}", daemon=True)
+            for i in range(max(1, int(collector_threads)))
+        ]
         self._batcher.start()
-        self._collector.start()
+        for c in self._collectors:
+            c.start()
 
     # ---------------- client API ----------------
 
@@ -176,8 +192,15 @@ class InferenceServer:
         r = self._step(self._params, z, m)
         jax.block_until_ready(r)
 
-    def submit(self, img_u8: np.ndarray) -> Future:
-        """Enqueue one [h, w, 3] uint8 image; returns a Future."""
+    def submit(self, img_u8: np.ndarray,
+               timeout: Optional[float] = None) -> Future:
+        """Enqueue one [h, w, 3] uint8 image; returns a Future.
+
+        With the queue at max_queue, blocks for `timeout` seconds then
+        raises queue.Full (timeout=None blocks indefinitely — in-process
+        backpressure; the HTTP front-end passes a bound and maps Full to
+        503 so an overloaded server sheds load instead of hanging
+        clients)."""
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         img_u8 = np.asarray(img_u8)
@@ -186,7 +209,8 @@ class InferenceServer:
         h0, w0 = img_u8.shape[:2]
         image, pad_mask, real_hw = self._preprocess(img_u8.astype(np.uint8))
         fut: Future = Future()
-        self._queue.put(_Request(image, pad_mask, (h0, w0), real_hw, fut))
+        self._queue.put(_Request(image, pad_mask, (h0, w0), real_hw, fut),
+                        timeout=timeout)
         return fut
 
     def detect(self, img_u8: np.ndarray) -> Dict[str, np.ndarray]:
@@ -201,14 +225,17 @@ class InferenceServer:
             n * self.batch_size
         )
         s["mean_latency_s"] = s["latency_sum_s"] / max(1, s["requests"])
+        s["queue_depth"] = self._queue.qsize()
         return s
 
     def close(self):
         self._stop.set()
         self._queue.put(None)  # wake the batcher
         self._batcher.join(timeout=30)
-        self._in_flight.put(None)
-        self._collector.join(timeout=30)
+        for _ in self._collectors:
+            self._in_flight.put(None)
+        for c in self._collectors:
+            c.join(timeout=30)
 
     def __enter__(self):
         return self
@@ -295,11 +322,12 @@ class InferenceServer:
                 break
             res_d, items = got
             try:
-                scores = np.asarray(jax.device_get(res_d[0]), np.float32)
-                labels = np.asarray(jax.device_get(res_d[1]))
-                boxes = np.asarray(jax.device_get(res_d[2]), np.float32)
-                pred_masks = (np.asarray(jax.device_get(res_d[3]))
-                              if len(res_d) > 3 else None)
+                packed = np.asarray(jax.device_get(res_d[0]), np.float32)
+                scores = packed[..., 0]
+                labels = packed[..., 1].astype(np.int32)
+                boxes = packed[..., 2:6]
+                pred_masks = (np.asarray(jax.device_get(res_d[1]))
+                              if len(res_d) > 1 else None)
             except Exception as e:
                 for it in items:
                     it.future.set_exception(e)
@@ -396,7 +424,12 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
                 img = np.asarray(
                     Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8
                 )
-                res = server.submit(img).result(timeout=120)
+                try:
+                    fut = server.submit(img, timeout=10)
+                except queue.Full:
+                    self._send(503, {"error": "overloaded"})
+                    return
+                res = fut.result(timeout=120)
                 payload = {
                     "boxes": res["boxes"].tolist(),
                     "scores": res["scores"].tolist(),

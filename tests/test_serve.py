@@ -65,8 +65,10 @@ def test_batched_equals_direct(tiny_model_params):
         images = np.zeros((2, *CANVAS, 3), np.float32)
         masks = np.ones((2, *CANVAS), bool)
         images[0], masks[0] = canvas, pad_mask
-        s, l, b = srv._step(srv._params, jnp.asarray(images),
-                            jnp.asarray(masks))
+        (packed,) = srv._step(srv._params, jnp.asarray(images),
+                              jnp.asarray(masks))
+        packed = np.asarray(packed, np.float32)
+        s, l, b = packed[..., 0], packed[..., 1].astype(np.int32), packed[..., 2:6]
     h0, w0 = img.shape[:2]
     scale = np.array([w0, h0, w0, h0], np.float32)
     want_b = np.clip(np.asarray(b)[0] * scale, 0,
@@ -189,8 +191,8 @@ def test_masks_model_serving(tiny_model_params):
         images = np.zeros((2, *CANVAS, 3), np.float32)
         masks = np.ones((2, *CANVAS), bool)
         images[0], masks[0] = canvas, pad_mask
-        s, l, b, pm = srv._step(srv._params, jnp.asarray(images),
-                                jnp.asarray(masks))
+        _, pm = srv._step(srv._params, jnp.asarray(images),
+                          jnp.asarray(masks))
     assert len(res["masks"]) == 6  # threshold 0 keeps all num_select
     assert res["masks"][4] is None and res["masks"][5] is None  # > top_k
     h0, w0 = img.shape[:2]

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--chip", action="store_true",
                     help="flagship model at the real eval canvas")
     ap.add_argument("--warm_images", type=int, default=8)
+    ap.add_argument("--in_flight", type=int, default=4)
+    ap.add_argument("--collectors", type=int, default=4)
     args = ap.parse_args()
 
     if not args.chip:
@@ -78,6 +80,8 @@ def main():
         resize_short=800 if args.chip else 64,
         resize_max=1333 if args.chip else 128,
         batch_timeout_s=0.5,
+        max_in_flight=args.in_flight,
+        collector_threads=args.collectors,
     )
     try:
         srv.warmup()
