@@ -30,6 +30,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Dict, List, Optional, Tuple
 
@@ -156,15 +157,23 @@ class InferenceServer:
         self._step = jax.jit(_step)
 
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(max_queue)
-        # bounded: backpressure on device dispatch (HBM holds <= this many
-        # live batches; the relay hides completion, so do not run unbounded)
-        self._in_flight: "queue.Queue" = queue.Queue(max(1, int(max_in_flight)))
+        # HBM backpressure: a batch holds a slot from BEFORE its device
+        # dispatch until its device->host fetch has completed and the device
+        # buffers are dropped, so HBM holds at most max_in_flight live
+        # batches total (dispatched or being collected) — the slot is
+        # acquired ahead of _step, not after, so dispatch itself can never
+        # overshoot the bound (the relay hides completion, so do not run
+        # unbounded)
+        self._hbm_slots = threading.Semaphore(max(1, int(max_in_flight)))
+        self._in_flight: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "batch_slots": 0,
             "latency_sum_s": 0.0,
         }
+        # per-request latency ring for tail stats (p50/p95)
+        self._latencies = deque(maxlen=4096)
         self._batcher = threading.Thread(
             target=self._batch_loop, name="serve-batcher", daemon=True
         )
@@ -220,11 +229,16 @@ class InferenceServer:
     def stats(self) -> Dict[str, float]:
         with self._stats_lock:
             s = dict(self._stats)
+            lats = sorted(self._latencies)
         n = max(1, s["batches"])
         s["mean_batch_occupancy"] = s["batch_slots"] / (
             n * self.batch_size
         )
         s["mean_latency_s"] = s["latency_sum_s"] / max(1, s["requests"])
+        if lats:
+            s["p50_latency_s"] = lats[len(lats) // 2]
+            s["p95_latency_s"] = lats[min(len(lats) - 1,
+                                          int(len(lats) * 0.95))]
         s["queue_depth"] = self._queue.qsize()
         return s
 
@@ -232,6 +246,17 @@ class InferenceServer:
         self._stop.set()
         self._queue.put(None)  # wake the batcher
         self._batcher.join(timeout=30)
+        # submit() can race close(): its queue.put may land AFTER the
+        # batcher's own post-stop drain finished, leaving a Future that
+        # would never resolve — drain once more now that the batcher is
+        # definitely gone (no new consumer exists; _stop blocks new puts)
+        while True:
+            try:
+                it = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                it.future.set_exception(RuntimeError("server closed"))
         for _ in self._collectors:
             self._in_flight.put(None)
         for c in self._collectors:
@@ -296,10 +321,26 @@ class InferenceServer:
             for i, it in enumerate(items):
                 images[i] = it.image
                 masks[i] = it.pad_mask
+            # take an HBM slot BEFORE dispatch (released by the collector
+            # once the fetch is done) — waiting here is the backpressure
+            got_slot = self._hbm_slots.acquire(timeout=0.1)
+            stop_deadline = None
+            while not got_slot:
+                if self._stop.is_set():
+                    if stop_deadline is None:
+                        stop_deadline = time.monotonic() + 10.0
+                    elif time.monotonic() > stop_deadline:
+                        break  # slots never freed: device is wedged
+                got_slot = self._hbm_slots.acquire(timeout=0.1)
+            if not got_slot:
+                for it in items:
+                    it.future.set_exception(RuntimeError("server closed"))
+                break
             try:
                 dev_images, dev_masks = self._put(images, masks)
                 res = self._step(self._params, dev_images, dev_masks)
             except Exception as e:  # compile/dispatch failure → fail futures
+                self._hbm_slots.release()
                 for it in items:
                     it.future.set_exception(e)
                 continue
@@ -329,9 +370,12 @@ class InferenceServer:
                 pred_masks = (np.asarray(jax.device_get(res_d[1]))
                               if len(res_d) > 1 else None)
             except Exception as e:
-                for it in items:
-                    it.future.set_exception(e)
+                self._resolve_items(items, None, None, None, None, exc=e)
+                del res_d
+                self._hbm_slots.release()
                 continue
+            del res_d  # drop device buffers before freeing the HBM slot
+            self._hbm_slots.release()
             now = time.monotonic()
             with self._stats_lock:
                 self._stats["batches"] += 1
@@ -340,7 +384,27 @@ class InferenceServer:
                 self._stats["latency_sum_s"] += sum(
                     now - it.t_enqueue for it in items
                 )
-            for i, it in enumerate(items):
+                self._latencies.extend(now - it.t_enqueue for it in items)
+            self._resolve_items(items, scores, labels, boxes, pred_masks)
+
+    def _resolve_items(self, items, scores, labels, boxes, pred_masks,
+                       exc=None):
+        """Resolve each request's Future; one bad item (or a client that
+        cancelled its Future after a result deadline) must not kill the
+        collector thread or strand the batch's other futures."""
+        for i, it in enumerate(items):
+            # PENDING -> RUNNING; False means the client cancelled (e.g.
+            # its HTTP deadline fired) — skip, and set_result below can no
+            # longer race a cancel into InvalidStateError
+            try:
+                if not it.future.set_running_or_notify_cancel():
+                    continue
+            except Exception:
+                continue
+            if exc is not None:
+                it.future.set_exception(exc)
+                continue
+            try:
                 keep = scores[i] > self.score_threshold
                 h0, w0 = it.orig_hw
                 scale = np.array([w0, h0, w0, h0], np.float32)
@@ -357,6 +421,11 @@ class InferenceServer:
                         pred_masks[i], np.nonzero(keep)[0], it
                     )
                 it.future.set_result(result)
+            except Exception as e:
+                try:
+                    it.future.set_exception(e)
+                except Exception:
+                    pass
 
     def _finish_masks(self, pm_i: np.ndarray, kept_idx: np.ndarray,
                       it: _Request):
@@ -382,7 +451,11 @@ class InferenceServer:
 
 
 def serve_http(server: InferenceServer, host: str = "127.0.0.1",
-               port: int = 8080, start: bool = True):
+               port: int = 8080, start: bool = True,
+               result_timeout_s: float = 30.0,
+               submit_timeout_s: float = 5.0,
+               max_body_bytes: int = 32 * 1024 * 1024,
+               max_concurrent: int = 64):
     """JSON-over-HTTP front-end (stdlib only).
 
     POST /detect   body = encoded image (PNG/JPEG/...) → {"boxes": [[x1,y1,
@@ -390,14 +463,27 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
     GET  /healthz  → {"ok": true}
     GET  /stats    → server.stats()
 
+    Overload / stall behavior: at most `max_concurrent` /detect requests may
+    be in flight at once — beyond that the handler sheds with an immediate
+    503 instead of parking a thread (ThreadingHTTPServer is one thread per
+    connection; without the cap a stalled device accumulates thousands of
+    threads each blocked 120 s). Each in-flight request waits at most
+    `result_timeout_s` for its result, then CANCELS its Future (the
+    collector skips cancelled futures) and returns 503 {"error": "deadline"}.
+    Bodies above `max_body_bytes` get 413 without being read.
+
     Returns the http.server instance; `start=False` skips serve_forever
     (tests drive it from a thread).
     """
+    from concurrent.futures import TimeoutError as FutTimeout
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    slots = threading.Semaphore(max(1, int(max_concurrent)))
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
+            self._headers_sent = True
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -413,11 +499,20 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            self._headers_sent = False
             if self.path != "/detect":
                 self._send(404, {"error": "not found"})
                 return
+            n = int(self.headers.get("Content-Length", "0"))
+            if n > max_body_bytes:
+                self._send(413, {"error": "body too large"})
+                return
+            if not slots.acquire(blocking=False):
+                # fast shedding: a stalled device must produce quick 503s,
+                # not an unbounded pile of threads parked on fut.result
+                self._send(503, {"error": "overloaded"})
+                return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
                 raw = self.rfile.read(n)
                 from PIL import Image
 
@@ -425,11 +520,16 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
                     Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8
                 )
                 try:
-                    fut = server.submit(img, timeout=10)
+                    fut = server.submit(img, timeout=submit_timeout_s)
                 except queue.Full:
                     self._send(503, {"error": "overloaded"})
                     return
-                res = fut.result(timeout=120)
+                try:
+                    res = fut.result(timeout=result_timeout_s)
+                except FutTimeout:
+                    fut.cancel()  # collector skips cancelled futures
+                    self._send(503, {"error": "deadline"})
+                    return
                 payload = {
                     "boxes": res["boxes"].tolist(),
                     "scores": res["scores"].tolist(),
@@ -446,7 +546,15 @@ def serve_http(server: InferenceServer, host: str = "127.0.0.1",
                     ]
                 self._send(200, payload)
             except Exception as e:
-                self._send(500, {"error": str(e)})
+                # a broken client socket mid-200 would raise again on a
+                # retried 500 — only answer if nothing has been sent yet
+                if not self._headers_sent:
+                    try:
+                        self._send(500, {"error": str(e)})
+                    except Exception:
+                        pass
+            finally:
+                slots.release()
 
         def log_message(self, *a):  # keep stdout to the JSON log lines
             pass

@@ -243,3 +243,136 @@ def test_http_front_end(tiny_model_params):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_collector_survives_cancelled_future(tiny_model_params):
+    """A client that cancels its Future (deadline fired) must not kill the
+    collector thread or strand the other requests in the same batch."""
+    model, params = tiny_model_params
+    rng = np.random.default_rng(7)
+    with _server(model, params, batch_size=2, batch_timeout_s=0.3) as srv:
+        srv.warmup()
+        f1 = srv.submit(_rand_img(rng, 40, 60))
+        assert f1.cancel()  # cancelled while still queued
+        f2 = srv.submit(_rand_img(rng, 44, 64))
+        res = f2.result(timeout=60)  # same batch as the cancelled one
+        assert len(res["scores"]) == 8
+        # collectors still alive and serving afterwards
+        res2 = srv.detect(_rand_img(rng, 48, 68))
+        assert len(res2["scores"]) == 8
+        assert all(c.is_alive() for c in srv._collectors)
+
+
+def test_stalled_device_sheds_fast(tiny_model_params):
+    """With the device step artificially stalled, the HTTP front-end must
+    answer quickly with 503 (deadline or overloaded) instead of parking an
+    unbounded thread pile, and the server must recover afterwards."""
+    import json
+    import urllib.error
+
+    model, params = tiny_model_params
+    rng = np.random.default_rng(8)
+    img = _rand_img(rng, 40, 60)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    body = buf.getvalue()
+
+    with _server(model, params, batch_size=1, batch_timeout_s=0.01,
+                 max_in_flight=1) as srv:
+        srv.warmup()
+        real_step = srv._step
+        stall = threading.Event()
+
+        def slow_step(*a):
+            stall.wait(timeout=20)
+            return real_step(*a)
+
+        srv._step = slow_step
+        httpd = serve_http(srv, "127.0.0.1", 0, start=False,
+                           result_timeout_s=0.5, max_concurrent=2)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            codes, times = [], []
+
+            def hit():
+                t0 = time.monotonic()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/detect", data=body,
+                    method="POST")
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        codes.append(r.status)
+                except urllib.error.HTTPError as e:
+                    codes.append(e.code)
+                times.append(time.monotonic() - t0)
+
+            threads = [threading.Thread(target=hit) for _ in range(6)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=30)
+            # every request answered, none took anywhere near 120 s:
+            # max_concurrent=2 sheds 4 immediately, the 2 in-flight hit the
+            # 0.5 s result deadline and 503
+            assert len(codes) == 6
+            assert all(c == 503 for c in codes), codes
+            assert max(times) < 10, times
+            # oversize body: 413 without reading
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=b"x" * 10,
+                method="POST")
+            req.add_header("Content-Length", str(1 << 40))
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                assert False, "expected 413"
+            except urllib.error.HTTPError as e:
+                assert e.code == 413
+            except urllib.error.URLError:
+                pass  # some stacks abort the connection on the huge length
+            # un-stall: server recovers, new requests succeed, and the
+            # stats now include tail latency
+            stall.set()
+            srv._step = real_step
+            deadline = time.monotonic() + 60
+            ok = False
+            while time.monotonic() < deadline and not ok:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/detect", data=body,
+                    method="POST")
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        ok = r.status == 200
+                        out = json.load(r)
+                except urllib.error.HTTPError:
+                    time.sleep(0.2)
+            assert ok and len(out["scores"]) == 8
+            st = srv.stats()
+            assert "p50_latency_s" in st and "p95_latency_s" in st
+            assert st["p95_latency_s"] >= st["p50_latency_s"]
+        finally:
+            stall.set()
+            httpd.shutdown()
+            httpd.server_close()
+
+
+def test_close_drains_raced_submit(tiny_model_params):
+    """A submit whose queue.put lands after the batcher's own drain must
+    still get its Future failed by close()'s final drain (never hang)."""
+    model, params = tiny_model_params
+    srv = _server(model, params)
+    # simulate the race: stop the batcher loop first, then enqueue
+    srv._stop.set()
+    srv._queue.put(None)
+    srv._batcher.join(timeout=30)
+    from concurrent.futures import Future
+
+    from datr_tpu.serve import _Request
+
+    fut = Future()
+    srv._queue.put(_Request(np.zeros((*CANVAS, 3), np.float32),
+                            np.ones(CANVAS, bool), (10, 10), (10, 10), fut))
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=5)

@@ -786,3 +786,144 @@ def test_optimizer_trajectory_parity(x64_mode):
     scale = np.abs(r).max()
     frac_close = float((np.abs(a - r) <= 0.01 * scale + 1e-12).mean())
     assert frac_close > 0.995, frac_close
+
+
+# ------------------------------------------------------------------ pseudo
+# Live-reference parity for the self-training pseudo-label pipeline
+# (VERDICT r3 #3): identical teacher outputs driven through the reference's
+# PostProcess(not_to_xyxy) -> get_pseudo_label_via_threshold ->
+# deal_pesudo_label -> rescale_pseudo_targets (batched_nms 0.7, top-100) ->
+# get_valid_output chain (self_training_utils.py:23-137, engine.py:199-235)
+# and through our in-graph train/pseudo.py — kept boxes/labels/order and the
+# valid-image set must agree exactly.
+
+
+class TestPseudoLabelParity:
+    CANVAS = (64, 96)  # padded canvas (_h, _w) of rescale_pseudo_targets
+
+    def _reference_pipeline(self, logits, boxes, real_sizes, thresholds,
+                            num_select):
+        from models.dino.dino import PostProcess
+        from models.dino.self_training_utils import (
+            deal_pesudo_label,
+            get_pseudo_label_via_threshold,
+            get_valid_output,
+            rescale_pseudo_targets,
+        )
+
+        Bt = logits.shape[0]
+        H, W = self.CANVAS
+        results = PostProcess(num_select=num_select)(
+            {"pred_logits": torch.as_tensor(logits),
+             "pred_boxes": torch.as_tensor(boxes)},
+            torch.ones(Bt, 2),  # orig_unlabel_target_sizes of ones
+            not_to_xyxy=True,
+        )
+        idx_list, labels_d, boxes_d, scores_d = (
+            get_pseudo_label_via_threshold(results, threshold=thresholds)
+        )
+        target_labels = [
+            {"image_id": torch.tensor([i]),
+             "area": torch.zeros(0),
+             "iscrowd": torch.zeros(0),
+             "orig_size": torch.as_tensor(real_sizes[i]),
+             "size": torch.as_tensor(real_sizes[i])}
+            for i in range(Bt)
+        ]
+        pseudo = deal_pesudo_label(target_labels, idx_list, labels_d,
+                                   boxes_d, scores_d)
+        unlabel_img = torch.zeros(Bt, 3, H, W)
+        pseudo = rescale_pseudo_targets(unlabel_img, pseudo, nms_th=0.7)
+        # get_valid_output slices per-image outputs down to idx_list and
+        # flattens the pseudo dict into a list (the criterion's targets)
+        fake_out = {
+            "pred_logits_target": torch.as_tensor(logits),
+            "pred_boxes_target": torch.as_tensor(boxes),
+        }
+        valid_out, pseudo_list = get_valid_output(fake_out, pseudo, idx_list)
+        return idx_list, pseudo_list, valid_out
+
+    def _ours(self, logits, boxes, real_sizes, thresholds, num_select):
+        from datr_tpu.train.pseudo import pseudo_labels_from_outputs
+
+        return pseudo_labels_from_outputs(
+            jnp.asarray(logits), jnp.asarray(boxes),
+            jnp.asarray(real_sizes), self.CANVAS,
+            jnp.asarray(thresholds), num_select=num_select,
+            max_pseudo=100, nms_iou=0.7,
+        )
+
+    def _compare(self, logits, boxes, real_sizes, thresholds,
+                 num_select=100):
+        idx_list, pseudo_list, valid_out = self._reference_pipeline(
+            logits, boxes, real_sizes, thresholds, num_select)
+        p_boxes, p_labels, p_valid, img_has = self._ours(
+            logits, boxes, real_sizes, thresholds, num_select)
+        p_boxes, p_labels = np.asarray(p_boxes), np.asarray(p_labels)
+        p_valid, img_has = np.asarray(p_valid), np.asarray(img_has)
+
+        # the valid-image set == the reference idx_list (get_valid_output's
+        # batch slice ≙ our img_has_pseudo mask)
+        assert sorted(np.nonzero(img_has)[0].tolist()) == sorted(idx_list)
+        # reference slices outputs to idx_list rows — same images
+        np.testing.assert_allclose(
+            valid_out["pred_logits_target"].numpy(), logits[idx_list])
+
+        for ref_t, i in zip(pseudo_list, idx_list):
+            want_labels = ref_t["labels"].numpy()
+            want_boxes = ref_t["boxes"].numpy()  # cxcywh / real size
+            got_labels = p_labels[i][p_valid[i]]
+            got_boxes = p_boxes[i][p_valid[i]]
+            assert len(got_labels) == len(want_labels), (
+                f"img {i}: kept {len(got_labels)} vs ref {len(want_labels)}")
+            # same detections in the same (descending-score) order
+            np.testing.assert_array_equal(got_labels, want_labels)
+            np.testing.assert_allclose(got_boxes, want_boxes,
+                                       rtol=2e-5, atol=2e-6)
+        return idx_list
+
+    def test_threshold_nms_rescale_parity(self):
+        """Random teacher outputs, per-class thresholds, one image pushed
+        below threshold everywhere: kept set, order, and renormalized
+        coordinates must match the reference chain exactly."""
+        rng = np.random.default_rng(42)
+        Bt, N, Kc = 3, 40, 9
+        logits = rng.normal(-2.0, 2.0, (Bt, N, Kc)).astype(np.float32)
+        logits[2] = -8.0  # image 2: nothing above any threshold
+        boxes = _rand_boxes(rng, Bt, N)
+        # clusters of near-duplicate boxes so NMS genuinely suppresses
+        for b in range(2):
+            for c in range(4):
+                base = boxes[b, 8 * c]
+                for j in range(1, 5):
+                    boxes[b, 8 * c + j] = base + rng.normal(
+                        0, 0.004, 4).astype(np.float32)
+        real = np.array([[60, 90], [50, 80], [64, 96]], np.int32)
+        thr = rng.uniform(0.25, 0.5, Kc)
+        idx = self._compare(logits, boxes, real, thr)
+        assert idx == [0, 1]  # image 2 dropped by thresholding
+
+    def test_top100_truncation_parity(self):
+        """>100 above-threshold survivors: the reference keeps the first
+        100 of batched_nms' score-ordered output — ours must truncate to
+        the same 100 (max_pseudo)."""
+        rng = np.random.default_rng(7)
+        Bt, Kc = 1, 4
+        # 12x16 grid of small disjoint boxes -> no NMS suppression
+        gy, gx = np.meshgrid(np.arange(12), np.arange(16), indexing="ij")
+        cx = ((gx.ravel() + 0.5) / 16).astype(np.float32)
+        cy = ((gy.ravel() + 0.5) / 12).astype(np.float32)
+        N = cx.size  # 192
+        boxes = np.stack(
+            [cx, cy, np.full(N, 0.02, np.float32),
+             np.full(N, 0.02, np.float32)], -1)[None]
+        logits = np.full((Bt, N, Kc), -6.0, np.float32)
+        # one strong class per box, distinct scores
+        cls = rng.integers(0, Kc, N)
+        logits[0, np.arange(N), cls] = rng.uniform(1.0, 4.0, N)
+        real = np.array([[48, 72]], np.int32)
+        thr = np.full(Kc, 0.5)
+        idx_list, pseudo_list, _ = self._reference_pipeline(
+            logits, boxes, real, thr, num_select=192)
+        assert len(pseudo_list[0]["labels"]) == 100  # truncation is active
+        self._compare(logits, boxes, real, thr, num_select=192)
