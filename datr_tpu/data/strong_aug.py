@@ -44,22 +44,31 @@ def color_jitter(
     matches the reference's transforms.ColorJitter(0.4, 0.4, 0.4, 0.1)
     (DAcoco.py:352) and runs ~50x faster than a float-numpy formulation at
     Cityscapes resolution (tools/loader_bench.py)."""
-    ops = []
-    if brightness > 0:
-        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
-        ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
-    if contrast > 0:
-        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
-        ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
-    if saturation > 0:
-        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
-        ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
-    if hue > 0:
-        s = rng.uniform(-hue, hue)
-        ops.append(lambda im, s=s: _adjust_hue(im, s))
-    rng.shuffle(ops)
-    for op in ops:
-        img = op(img)
+    # draw order mirrors torchvision ColorJitter.get_params exactly —
+    # application permutation first, then the four factors in fixed
+    # (brightness, contrast, saturation, hue) order — so the same uniform
+    # stream produces the same augmentation as the reference pipeline
+    # (tests/test_aug_torch_parity.py scripts both sides from one tape)
+    order = [0, 1, 2, 3]
+    rng.shuffle(order)
+    f_b = (rng.uniform(max(0, 1 - brightness), 1 + brightness)
+           if brightness > 0 else 1.0)
+    f_c = (rng.uniform(max(0, 1 - contrast), 1 + contrast)
+           if contrast > 0 else 1.0)
+    f_s = (rng.uniform(max(0, 1 - saturation), 1 + saturation)
+           if saturation > 0 else 1.0)
+    s_h = rng.uniform(-hue, hue) if hue > 0 else 0.0
+    ops = [
+        lambda im: ImageEnhance.Brightness(im).enhance(f_b)
+        if brightness > 0 else im,
+        lambda im: ImageEnhance.Contrast(im).enhance(f_c)
+        if contrast > 0 else im,
+        lambda im: ImageEnhance.Color(im).enhance(f_s)
+        if saturation > 0 else im,
+        lambda im: _adjust_hue(im, s_h) if hue > 0 else im,
+    ]
+    for i in order:
+        img = ops[i](img)
     return img
 
 

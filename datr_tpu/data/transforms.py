@@ -44,8 +44,15 @@ def get_size_with_aspect_ratio(
 
 
 def _nearest_idx(n_out: int, n_in: int) -> np.ndarray:
-    """torch F.interpolate(mode='nearest') index map: floor(i*in/out)."""
-    return (np.arange(n_out) * (n_in / n_out)).astype(np.int64)
+    """torch F.interpolate(mode='nearest') index map: floor(i * scale) with
+    the scale and product computed in FLOAT32 like ATen's
+    nearest_neighbor_compute_source_index — f64 here flips boundary rows
+    (tests/test_aug_torch_parity.py caught 19/61920 px off)."""
+    scale = np.float32(n_in) / np.float32(n_out)
+    idx = np.floor(np.arange(n_out, dtype=np.float32) * scale).astype(
+        np.int64
+    )
+    return np.minimum(idx, n_in - 1)
 
 
 def _resize_masks(masks: np.ndarray, oh: int, ow: int) -> np.ndarray:

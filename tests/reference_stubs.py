@@ -266,7 +266,16 @@ def _make_torchvision():
 
     tv.models = models
     tv.ops = ops
-    tv.transforms = types.ModuleType("torchvision.transforms")
+    tv.transforms = _make_tv_transforms()
+    tv.transforms.functional = tv.transforms._functional
+    datasets_mod = types.ModuleType("torchvision.datasets")
+
+    class _CocoDetection:  # only subclassed (DAcoco.py:365); never built here
+        def __init__(self, *a, **k):
+            raise NotImplementedError("stub: no dataset IO in parity tests")
+
+    datasets_mod.CocoDetection = _CocoDetection
+    tv.datasets = datasets_mod
     return {
         "torchvision": tv,
         "torchvision.models": models,
@@ -275,7 +284,197 @@ def _make_torchvision():
         "torchvision.ops.boxes": boxes_mod,
         "torchvision.ops.misc": misc_mod,
         "torchvision.transforms": tv.transforms,
+        "torchvision.transforms.functional": tv.transforms._functional,
+        "torchvision.datasets": datasets_mod,
     }
+
+
+def _make_tv_transforms():
+    """torchvision.transforms stub with the EXACT PIL-backend semantics of
+    the real library (which, for PIL inputs, delegates to PIL itself:
+    Image.resize(BILINEAR), Image.crop, Image.transpose, ImageEnhance,
+    HSV-roundtrip hue). Written independently from the torchvision source
+    behavior so da_transforms.py/DAcoco.py run live on top.
+
+    Random draws go through the module attribute `_random` (defaults to the
+    stdlib random module; uniform-equivalent to torchvision's torch RNG) so
+    parity tests can script every draw from a shared tape."""
+    import random as _random_mod
+
+    import numpy as np
+    from PIL import Image, ImageEnhance, ImageOps
+
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt._random = _random_mod
+
+    fn = types.ModuleType("torchvision.transforms.functional")
+
+    def _crop(img, top, left, height, width):
+        return img.crop((left, top, left + width, top + height))
+
+    def _hflip(img):
+        return img.transpose(Image.FLIP_LEFT_RIGHT)
+
+    def _resize(img, size, **kw):
+        # da_transforms always passes an (h, w) sequence (resize():108-117)
+        if isinstance(size, int):
+            w, h = img.size
+            if w < h:
+                size = (int(size * h / w), size)
+            else:
+                size = (size, int(size * w / h))
+        oh, ow = size
+        return img.resize((ow, oh), Image.BILINEAR)
+
+    def _pad(img, padding, fill=0):
+        left, top, right, bottom = padding
+        return ImageOps.expand(img, (left, top, right, bottom), fill)
+
+    def _to_tensor(img):
+        arr = np.asarray(img, np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        t = torch.from_numpy(arr.copy()).permute(2, 0, 1)
+        return t.float().div(255.0)
+
+    def _normalize(tensor, mean, std, inplace=False):
+        mean = torch.as_tensor(mean, dtype=tensor.dtype)
+        std = torch.as_tensor(std, dtype=tensor.dtype)
+        return (tensor - mean[:, None, None]) / std[:, None, None]
+
+    def _adjust_brightness(img, f):
+        return ImageEnhance.Brightness(img).enhance(f)
+
+    def _adjust_contrast(img, f):
+        return ImageEnhance.Contrast(img).enhance(f)
+
+    def _adjust_saturation(img, f):
+        return ImageEnhance.Color(img).enhance(f)
+
+    def _adjust_hue(img, hue_factor):
+        # torchvision PIL path: HSV roundtrip, uint8 wraparound on H
+        if img.mode in ("L", "1", "I", "F"):
+            return img
+        h, s, v = img.convert("HSV").split()
+        np_h = np.asarray(h, np.uint8).copy()
+        np_h += np.uint8(int(hue_factor * 255) % 256)
+        h = Image.fromarray(np_h, "L")
+        return Image.merge("HSV", (h, s, v)).convert(img.mode)
+
+    def _to_grayscale(img, num_output_channels=1):
+        g = img.convert("L")
+        return g.convert("RGB") if num_output_channels == 3 else g
+
+    fn.crop = _crop
+    fn.hflip = _hflip
+    fn.resize = _resize
+    fn.pad = _pad
+    fn.to_tensor = _to_tensor
+    fn.normalize = _normalize
+    fn.adjust_brightness = _adjust_brightness
+    fn.adjust_contrast = _adjust_contrast
+    fn.adjust_saturation = _adjust_saturation
+    fn.adjust_hue = _adjust_hue
+    fn.to_grayscale = _to_grayscale
+    fn.rgb_to_grayscale = _to_grayscale
+    tvt._functional = fn
+
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, img):
+            for t in self.transforms:
+                img = t(img)
+            return img
+
+    class RandomApply:
+        def __init__(self, transforms, p=0.5):
+            self.transforms = transforms
+            self.p = p
+
+        def __call__(self, img):
+            if tvt._random.random() < self.p:
+                for t in self.transforms:
+                    img = t(img)
+            return img
+
+    class RandomGrayscale:
+        def __init__(self, p=0.1):
+            self.p = p
+
+        def __call__(self, img):
+            if tvt._random.random() < self.p:
+                return _to_grayscale(img, num_output_channels=3)
+            return img
+
+    class ColorJitter:
+        """torchvision draw order: application permutation first, then the
+        factors in fixed (brightness, contrast, saturation, hue) order,
+        each drawn only when its parameter is active."""
+
+        def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
+            self.brightness = brightness
+            self.contrast = contrast
+            self.saturation = saturation
+            self.hue = hue
+
+        def __call__(self, img):
+            order = [0, 1, 2, 3]
+            tvt._random.shuffle(order)
+            b = (tvt._random.uniform(max(0, 1 - self.brightness),
+                                     1 + self.brightness)
+                 if self.brightness > 0 else None)
+            c = (tvt._random.uniform(max(0, 1 - self.contrast),
+                                     1 + self.contrast)
+                 if self.contrast > 0 else None)
+            s = (tvt._random.uniform(max(0, 1 - self.saturation),
+                                     1 + self.saturation)
+                 if self.saturation > 0 else None)
+            h = (tvt._random.uniform(-self.hue, self.hue)
+                 if self.hue > 0 else None)
+            for i in order:
+                if i == 0 and b is not None:
+                    img = _adjust_brightness(img, b)
+                elif i == 1 and c is not None:
+                    img = _adjust_contrast(img, c)
+                elif i == 2 and s is not None:
+                    img = _adjust_saturation(img, s)
+                elif i == 3 and h is not None:
+                    img = _adjust_hue(img, h)
+            return img
+
+    class RandomCrop:
+        def __init__(self, size):
+            self.size = size
+
+        @staticmethod
+        def get_params(img, output_size):
+            w, h = img.size
+            th, tw = output_size
+            if h < th or w < tw:
+                raise ValueError("crop larger than input")
+            if w == tw and h == th:
+                return 0, 0, h, w
+            i = tvt._random.randint(0, h - th)
+            j = tvt._random.randint(0, w - tw)
+            return i, j, th, tw
+
+        def __call__(self, img):
+            i, j, th, tw = self.get_params(img, self.size)
+            return _crop(img, i, j, th, tw)
+
+    class RandomErasing:
+        def __init__(self, *a, **k):
+            raise NotImplementedError("stub: unused by the DA pipelines")
+
+    tvt.Compose = Compose
+    tvt.RandomApply = RandomApply
+    tvt.RandomGrayscale = RandomGrayscale
+    tvt.ColorJitter = ColorJitter
+    tvt.RandomCrop = RandomCrop
+    tvt.RandomErasing = RandomErasing
+    return tvt
 
 
 def _make_timm():
@@ -343,6 +542,49 @@ def install():
         sys.modules.setdefault(name, mod)
     for name, mod in _make_timm().items():
         sys.modules.setdefault(name, mod)
+    # synthetic 'datasets' package: lets parity tests import the reference's
+    # datasets/da_transforms.py and DAcoco.py LIVE without executing
+    # datasets/__init__.py (which eagerly builds every dataset module and
+    # needs pycocotools at import time)
+    ds_pkg = types.ModuleType("datasets")
+    ds_pkg.__path__ = [REFERENCE_ROOT + "/datasets"]
+    sys.modules.setdefault("datasets", ds_pkg)
+    # minimal import-time stubs for DAcoco's module-level deps; the stubbed
+    # functions are never exercised by the transform parity tests
+    pyco_mask = types.ModuleType("pycocotools.mask")
+
+    def _no_coco(*a, **k):
+        raise NotImplementedError("pycocotools stub: not used in tests")
+
+    pyco_mask.frPyObjects = _no_coco
+    pyco_mask.decode = _no_coco
+    pyco = types.ModuleType("pycocotools")
+    pyco.mask = pyco_mask
+    sys.modules.setdefault("pycocotools", pyco)
+    sys.modules.setdefault("pycocotools.mask", pyco_mask)
+    addict = types.ModuleType("addict")
+
+    class _AddictDict(dict):  # attribute-style dict (util/slconfig.py:13)
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    addict.Dict = _AddictDict
+    sys.modules.setdefault("addict", addict)
+    yapf = types.ModuleType("yapf")
+    yapf_lib = types.ModuleType("yapf.yapflib")
+    yapf_api = types.ModuleType("yapf.yapflib.yapf_api")
+    yapf_api.FormatCode = lambda s, style_config=None: (s, True)
+    yapf.yapflib = yapf_lib
+    yapf_lib.yapf_api = yapf_api
+    sys.modules.setdefault("yapf", yapf)
+    sys.modules.setdefault("yapf.yapflib", yapf_lib)
+    sys.modules.setdefault("yapf.yapflib.yapf_api", yapf_api)
     # the reference hardcodes .cuda() in a few ctors (dino.py:106); make it
     # a no-op so the unmodified code runs on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
