@@ -342,7 +342,7 @@ def main(args):
             nms_iou_threshold=nms_thr, segm=segm_eval,
         )
         logger.info(json.dumps(stats))
-        return
+        return stats
 
     best = BestTracker(args.output_dir,
                        initial_best=resume_meta.get("best"),

@@ -163,6 +163,21 @@ def load_pretrain_params(path: str, params_target: Any):
     raw = _ckptr().restore(path)  # structure as stored, no target
     if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
         raw = raw["params"]
+    # published EVAL checkpoints may lack the train-only DA heads (the
+    # reference creates D_img/Proto_D only when training, dino.py:102-108;
+    # tools/convert_checkpoint.py emits them only if present). Fill exactly
+    # these from the freshly initialized target — everything else stays
+    # strictly checked.
+    if (isinstance(raw, dict) and "params" in raw
+            and isinstance(raw["params"], dict)
+            and isinstance(params_target, dict)
+            and "params" in params_target):
+        for da_head in ("d_img", "proto_d"):
+            if (da_head not in raw["params"]
+                    and da_head in params_target["params"]):
+                raw = dict(raw, params=dict(raw["params"]))
+                raw["params"][da_head] = jax.device_get(
+                    params_target["params"][da_head])
     flat_t, treedef = jax.tree_util.tree_flatten(params_target)
     flat_r = jax.tree_util.tree_leaves(raw)
     if len(flat_t) != len(flat_r):

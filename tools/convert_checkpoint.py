@@ -29,6 +29,140 @@ def _t_lin(w):  # [out, in] -> [in, out]
     return np.transpose(w, (1, 0))
 
 
+def fake_reference_state_dict(enc=1, dec=1, d=64, heads=4, K=3, ffn=128,
+                       labelbook=3, nq=8):
+    """Random-weight state dict in the reference's exact key layout
+    (dino.py / deformable_transformer.py modules, 4 levels x 4 points,
+    shared heads) — used by conversion tests and the repro kit's
+    offline dry run (tools/repro_c2f.py)."""
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    sd = {}
+    # torchvision resnet50 (stem + all blocks)
+    pre = "backbone.0.body."
+    sd[pre + "conv1.weight"] = t(64, 3, 7, 7)
+    for s in ("weight", "bias", "running_mean", "running_var"):
+        sd[pre + f"bn1.{s}"] = t(64)
+    layers = {1: (3, 64, 256), 2: (4, 128, 512), 3: (6, 256, 1024),
+              4: (3, 512, 2048)}
+    in_ch = 64
+    for li, (blocks, width, out_ch) in layers.items():
+        for b in range(blocks):
+            p = f"{pre}layer{li}.{b}"
+            cin = in_ch if b == 0 else out_ch
+            sd[p + ".conv1.weight"] = t(width, cin, 1, 1)
+            sd[p + ".conv2.weight"] = t(width, width, 3, 3)
+            sd[p + ".conv3.weight"] = t(out_ch, width, 1, 1)
+            for ci, c in ((1, width), (2, width), (3, out_ch)):
+                for s in ("weight", "bias", "running_mean", "running_var"):
+                    sd[p + f".bn{ci}.{s}"] = t(c)
+            if b == 0:
+                sd[p + ".downsample.0.weight"] = t(out_ch, cin, 1, 1)
+                for s in ("weight", "bias", "running_mean", "running_var"):
+                    sd[p + f".downsample.1.{s}"] = t(out_ch)
+        in_ch = out_ch
+
+    for i, cin in enumerate((512, 1024, 2048, 2048)):
+        sd[f"input_proj.{i}.0.weight"] = t(d, cin, 3 if i == 3 else 1,
+                                           3 if i == 3 else 1)
+        sd[f"input_proj.{i}.0.bias"] = t(d)
+        sd[f"input_proj.{i}.1.weight"] = t(d)
+        sd[f"input_proj.{i}.1.bias"] = t(d)
+
+    sd["transformer.level_embed"] = t(4, d)
+    sd["transformer.tgt_embed.weight"] = t(nq, d)
+    sd["label_enc.weight"] = t(labelbook + 1, d)
+
+    def msda(p):
+        sd[p + ".sampling_offsets.weight"] = t(heads * 4 * 4 * 2, d)
+        sd[p + ".sampling_offsets.bias"] = t(heads * 4 * 4 * 2)
+        sd[p + ".attention_weights.weight"] = t(heads * 4 * 4, d)
+        sd[p + ".attention_weights.bias"] = t(heads * 4 * 4)
+        for m in ("value_proj", "output_proj"):
+            sd[p + f".{m}.weight"] = t(d, d)
+            sd[p + f".{m}.bias"] = t(d)
+
+    def ln(p, dim=d):
+        sd[p + ".weight"] = t(dim)
+        sd[p + ".bias"] = t(dim)
+
+    for l in range(enc):
+        p = f"transformer.encoder.layers.{l}"
+        msda(p + ".self_attn")
+        ln(p + ".norm1")
+        sd[p + ".linear1.weight"] = t(ffn, d)
+        sd[p + ".linear1.bias"] = t(ffn)
+        sd[p + ".linear2.weight"] = t(d, ffn)
+        sd[p + ".linear2.bias"] = t(d)
+        ln(p + ".norm2")
+    for l in range(dec):
+        p = f"transformer.decoder.layers.{l}"
+        msda(p + ".cross_attn")
+        ln(p + ".norm1")
+        sd[p + ".self_attn.in_proj_weight"] = t(3 * d, d)
+        sd[p + ".self_attn.in_proj_bias"] = t(3 * d)
+        sd[p + ".self_attn.out_proj.weight"] = t(d, d)
+        sd[p + ".self_attn.out_proj.bias"] = t(d)
+        ln(p + ".norm2")
+        sd[p + ".linear1.weight"] = t(ffn, d)
+        sd[p + ".linear1.bias"] = t(ffn)
+        sd[p + ".linear2.weight"] = t(d, ffn)
+        sd[p + ".linear2.bias"] = t(d)
+        ln(p + ".norm3")
+    ln("transformer.decoder.norm")
+    # running_var must be positive (FrozenBN takes sqrt)
+    for k in list(sd):
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    for i in range(2):
+        sd[f"transformer.decoder.ref_point_head.layers.{i}.weight"] = (
+            t(d, 2 * d if i == 0 else d)
+        )
+        sd[f"transformer.decoder.ref_point_head.layers.{i}.bias"] = t(d)
+    sd["class_embed.0.weight"] = t(K, d)
+    sd["class_embed.0.bias"] = t(K)
+    for i in range(3):
+        out = 4 if i == 2 else d
+        sd[f"bbox_embed.0.layers.{i}.weight"] = t(out, d)
+        sd[f"bbox_embed.0.layers.{i}.bias"] = t(out)
+    sd["transformer.enc_output.weight"] = t(d, d)
+    sd["transformer.enc_output.bias"] = t(d)
+    ln("transformer.enc_output_norm")
+    sd["transformer.enc_out_class_embed.weight"] = t(K, d)
+    sd["transformer.enc_out_class_embed.bias"] = t(K)
+    for i in range(3):
+        out = 4 if i == 2 else d
+        sd[f"transformer.enc_out_bbox_embed.layers.{i}.weight"] = t(out, d)
+        sd[f"transformer.enc_out_bbox_embed.layers.{i}.bias"] = t(out)
+    return sd
+
+
+def _cfg_dims(config, options=()):
+    """Read the converter's structural dims from a datr_tpu config."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from datr_tpu.config import apply_overrides, load_config
+
+    cfg = apply_overrides(load_config(config), list(options))
+    return cfg
+
+
+def build_reference_state_dict(config, options=()):
+    """Reference-layout random state dict sized for `config` — the
+    stand-in for a published .pth in offline dry runs."""
+    cfg = _cfg_dims(config, options)
+    return fake_reference_state_dict(
+        enc=cfg.enc_layers, dec=cfg.dec_layers, d=cfg.hidden_dim,
+        heads=cfg.nheads, K=cfg.num_classes, ffn=cfg.dim_feedforward,
+        labelbook=cfg.dn_labelbook_size, nq=cfg.num_queries)
+
+
 def convert_resnet(sd: Dict[str, np.ndarray], prefix="backbone.0.body."):
     """torchvision resnet -> our ResNet module tree."""
     out: Dict = {}
@@ -300,13 +434,17 @@ def convert_checkpoint(sd: Dict[str, np.ndarray], enc_layers=6, dec_layers=6,
     return {"params": p}
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch_ckpt", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--key", default="model",
                     help="'model' or 'ema_model' inside the .pth")
-    args = ap.parse_args()
+    ap.add_argument("--config", default="",
+                    help="datr_tpu config: derives enc/dec layer counts, "
+                         "heads and width for the module mapping")
+    ap.add_argument("--options", nargs="+", default=[])
+    args = ap.parse_args(argv)
 
     import torch
 
@@ -315,8 +453,16 @@ def main():
     sd_t = ckpt.get(args.key, ckpt)
     if hasattr(sd_t, "state_dict"):
         sd_t = sd_t.state_dict()
-    sd = {k.replace("module.", ""): v.numpy() for k, v in sd_t.items()}
-    tree = convert_checkpoint(sd)
+    sd = {k.replace("module.", ""):
+          (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in sd_t.items()}
+    if args.config:
+        cfg = _cfg_dims(args.config, args.options)
+        tree = convert_checkpoint(
+            sd, enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
+            n_heads=cfg.nheads, d_model=cfg.hidden_dim)
+    else:
+        tree = convert_checkpoint(sd)
 
     import jax
     import orbax.checkpoint as ocp
