@@ -5,6 +5,19 @@ forward on the weak-aug target images -> PostProcess(num_select) at size (1,1)
 -> per-class score threshold -> scale to the padded canvas -> class-aware
 NMS(0.7) -> top-100 -> renormalize by the real (unpadded) image size.
 
+Coordinate semantics: the reference multiplies normalized boxes by the
+PADDED canvas (_h,_w) before NMS and divides by the REAL size after
+(self_training_utils.py:68-90). In every dataset the reference self-trains
+on (Cityscapes/Foggy 1024x2048, Sim10k, BDD100k — constant-size images)
+canvas == real, so the round trip is the identity: thresholding + NMS only
+SELECT teacher detections, their coordinates pass through unchanged. Under
+a static canvas with varying real sizes (this repo's loader) the literal
+multiply/divide would instead inflate every pseudo box by canvas/real —
+measured to corrupt self-training (distill e2e ap50 0.13 vs 0.53 teacher).
+So: NMS decisions are made in canvas pixels exactly as the reference's,
+and kept boxes are returned verbatim — identical to the reference in its
+own operating regime, and correct in ours.
+
 Here the ragged python dicts become fixed [B_t, max_pseudo] arrays with a
 validity mask, computed fully in-graph (the teacher forward runs inside the
 same jit as the student step — no host round-trip between them).
@@ -15,7 +28,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models.postprocess import batched_nms, postprocess
-from ..utils.boxes import box_cxcywh_to_xyxy, box_xyxy_to_cxcywh
+from ..utils.boxes import box_cxcywh_to_xyxy
 
 
 def pseudo_labels_from_outputs(
@@ -28,8 +41,11 @@ def pseudo_labels_from_outputs(
     max_pseudo: int = 100,
     nms_iou: float = 0.7,
 ):
-    """Returns (boxes [Bt, max_pseudo, 4] cxcywh normalized by real size,
-    labels [Bt, max_pseudo], valid [Bt, max_pseudo], img_has_pseudo [Bt])."""
+    """Returns (boxes [Bt, max_pseudo, 4] cxcywh normalized — the teacher's
+    own normalization, passed through unchanged (see module docstring),
+    labels [Bt, max_pseudo], valid [Bt, max_pseudo], img_has_pseudo [Bt]).
+    real_sizes is unused for coordinates (kept for API stability; the
+    reference's real-size division cancels in its operating regime)."""
     Bt = pred_logits.shape[0]
     res = postprocess(
         pred_logits, pred_boxes,
@@ -57,16 +73,13 @@ def pseudo_labels_from_outputs(
             idx = idx[..., None]
         return jnp.take_along_axis(x, idx, axis=1)
 
-    kept_boxes = take(xyxy)
+    # kept boxes pass through in the teacher's own normalization: the
+    # reference's xyxy*canvas -> /real round trip (self_training_utils.py
+    # :68-90) is the identity in its constant-size regime (module docstring)
+    kept_boxes = take(boxes_cxcywh)
     kept_labels = take(labels)
     kept_scores = take(jnp.where(valid, scores, -1.0))
     kept_valid = keep_valid & (kept_scores > 0)
 
-    # renormalize by the real (unpadded) size (self_training_utils.py:86-89)
-    rh = real_sizes[:, 0].astype(jnp.float32)
-    rw = real_sizes[:, 1].astype(jnp.float32)
-    scale = jnp.stack([rw, rh, rw, rh], axis=-1)[:, None, :]
-    out_boxes = box_xyxy_to_cxcywh(kept_boxes / scale)
-
     img_has_pseudo = kept_valid.any(axis=1)
-    return out_boxes, kept_labels, kept_valid, img_has_pseudo
+    return kept_boxes, kept_labels, kept_valid, img_has_pseudo

@@ -796,6 +796,15 @@ def test_optimizer_trajectory_parity(x64_mode):
 # get_valid_output chain (self_training_utils.py:23-137, engine.py:199-235)
 # and through our in-graph train/pseudo.py — kept boxes/labels/order and the
 # valid-image set must agree exactly.
+#
+# Coordinates: the reference's rescale multiplies by the padded canvas and
+# divides by the real size (self_training_utils.py:68-90) — the identity in
+# its operating regime (all its DA datasets are constant-size, canvas ==
+# real) but a canvas/real inflation under a static canvas with varying real
+# sizes. Ours returns kept boxes verbatim (train/pseudo.py docstring), so:
+# real == canvas -> exact box equality with the live reference; real !=
+# canvas -> equality after multiplying the reference's boxes back by
+# real/canvas (undoing its inflation). Both regimes are asserted below.
 
 
 class TestPseudoLabelParity:
@@ -869,9 +878,15 @@ class TestPseudoLabelParity:
         np.testing.assert_allclose(
             valid_out["pred_logits_target"].numpy(), logits[idx_list])
 
+        H, W = self.CANVAS
         for ref_t, i in zip(pseudo_list, idx_list):
             want_labels = ref_t["labels"].numpy()
-            want_boxes = ref_t["boxes"].numpy()  # cxcywh / real size
+            # reference boxes are cxcywh * canvas / real; undo its
+            # inflation (identity when real == canvas) to compare against
+            # our verbatim teacher boxes
+            rh, rw = float(real_sizes[i][0]), float(real_sizes[i][1])
+            want_boxes = ref_t["boxes"].numpy() * np.array(
+                [rw / W, rh / H, rw / W, rh / H], np.float32)
             got_labels = p_labels[i][p_valid[i]]
             got_boxes = p_boxes[i][p_valid[i]]
             assert len(got_labels) == len(want_labels), (
@@ -902,6 +917,20 @@ class TestPseudoLabelParity:
         thr = rng.uniform(0.25, 0.5, Kc)
         idx = self._compare(logits, boxes, real, thr)
         assert idx == [0, 1]  # image 2 dropped by thresholding
+
+    def test_constant_size_regime_exact(self):
+        """real == canvas (the reference's actual operating regime for
+        every DA dataset it ships): our boxes equal the live reference's
+        output VERBATIM — its canvas-multiply/real-divide is the identity
+        there and our pass-through matches it bit-for-bit."""
+        rng = np.random.default_rng(3)
+        Bt, N, Kc = 2, 32, 5
+        logits = rng.normal(-1.5, 1.5, (Bt, N, Kc)).astype(np.float32)
+        boxes = _rand_boxes(rng, Bt, N)
+        H, W = self.CANVAS
+        real = np.array([[H, W]] * Bt, np.int32)
+        thr = np.full(Kc, 0.35)
+        self._compare(logits, boxes, real, thr)
 
     def test_top100_truncation_parity(self):
         """>100 above-threshold survivors: the reference keeps the first
