@@ -114,3 +114,47 @@ def _numpy_resize_normalize_pad(img_u8, out_hw, canvas_hw, mean, std):
     canvas = np.zeros((H, W, 3), np.float32)
     canvas[:dh, :dw] = out
     return canvas
+
+
+def resize_pad_u8(img_u8: np.ndarray, out_hw, canvas_hw) -> np.ndarray:
+    """Bilinear resize kept in uint8, zero-padded into the canvas.
+
+    The serving ingest path: the server ships this 1-byte/px canvas to the
+    device and normalizes there (datr_tpu/serve.py) — through a bandwidth-
+    limited host<->device link the f32 canvas upload, not the device step,
+    caps the serving rate (4x the bytes)."""
+    sh, sw = img_u8.shape[:2]
+    dh, dw = out_hw
+    H, W = canvas_hw
+    canvas = np.zeros((H, W, 3), np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        src = np.ascontiguousarray(img_u8, np.uint8)
+        dst = np.empty((dh, dw, 3), np.uint8)
+        lib.resize_bilinear_u8(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), sh, sw,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dh, dw,
+        )
+        canvas[:dh, :dw] = dst
+        return canvas
+    # numpy fallback with the native kernel's exact sampling + rounding
+    # (u8 = trunc(v + 0.5), v a convex combination so already in [0, 255])
+    ys = (np.arange(dh) + 0.5) * (sh / dh) - 0.5
+    xs = (np.arange(dw) + 0.5) * (sw / dw) - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    y0c = np.clip(y0, 0, sh - 1)
+    y1c = np.clip(y0 + 1, 0, sh - 1)
+    x0c = np.clip(x0, 0, sw - 1)
+    x1c = np.clip(x0 + 1, 0, sw - 1)
+    f = img_u8.astype(np.float32)
+    out = (
+        f[y0c][:, x0c] * (1 - wy) * (1 - wx)
+        + f[y0c][:, x1c] * (1 - wy) * wx
+        + f[y1c][:, x0c] * wy * (1 - wx)
+        + f[y1c][:, x1c] * wy * wx
+    )
+    canvas[:dh, :dw] = (out + 0.5).astype(np.uint8)
+    return canvas

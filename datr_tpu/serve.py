@@ -4,10 +4,21 @@ The reference ships single-image scripts only (`/root/reference/inference.py`,
 `inference_ema_model.py`: load → one forward → draw); it has no server. On
 TPU, efficient serving needs STATIC shapes and a pipelined dispatch path:
 
-  request → host preprocess (native C++ fused resize+normalize+pad,
-  `datr_tpu/native/image_ops.cpp`) → fixed canvas → micro-batch to a fixed
-  batch size → ONE pre-compiled jit(forward + postprocess) → per-request
-  detections in original-image pixel coordinates.
+  request → host preprocess (native C++ bilinear resize kept in uint8,
+  `datr_tpu/native/image_ops.cpp`) → fixed uint8 canvas → micro-batch to a
+  fixed batch size → ONE pre-compiled jit(normalize + forward + postprocess)
+  → per-request detections in original-image pixel coordinates.
+
+Ingest is uint8 by design: the host→device upload is the serving wire
+format. A float32 canvas batch is 4x the bytes (plus a [B,H,W] bool pad
+mask, ~8% more) and through a bandwidth-limited link (this environment's
+TPU relay, or DCN serving) the UPLOAD — not the device step — caps the
+rate: the parity config measured 2.99 img/s end-to-end with f32 ingest
+against its 12.99 img/s device-step rate (ROADMAP round 4). So the server
+ships
+uint8 pixels + a [B, 2] real-size vector, and the jitted step normalizes
+and rebuilds the pad mask from iota comparisons on device — XLA fuses the
+normalize into the backbone's first conv, and the mask costs two compares.
 
 Pipelining: JAX's async dispatch means the batcher thread can launch batch
 N+1 while batch N is still executing on the device; a separate collector
@@ -48,12 +59,10 @@ from .models.postprocess import postprocess
 
 
 class _Request:
-    __slots__ = ("image", "pad_mask", "orig_hw", "real_hw", "future",
-                 "t_enqueue")
+    __slots__ = ("image", "orig_hw", "real_hw", "future", "t_enqueue")
 
-    def __init__(self, image, pad_mask, orig_hw, real_hw, future):
-        self.image = image
-        self.pad_mask = pad_mask
+    def __init__(self, image, orig_hw, real_hw, future):
+        self.image = image  # [H, W, 3] uint8 canvas (zero-padded)
         self.orig_hw = orig_hw
         self.real_hw = real_hw  # unpadded (h, w) on the canvas
         self.future = future
@@ -85,6 +94,7 @@ class InferenceServer:
         mesh=None,
         mask_top_k: int = 50,
         collector_threads: int = 2,
+        dispatcher_threads: int = 2,
     ):
         self.model = model
         self.canvas_hw = tuple(canvas_hw)
@@ -115,10 +125,10 @@ class InferenceServer:
                 params, param_sharding_tree(params, mesh)
             )
             self._img_sharding = NamedSharding(mesh, P("data", None, None, None))
-            self._mask_sharding = NamedSharding(mesh, P("data", None, None))
+            self._size_sharding = NamedSharding(mesh, P("data", None))
         else:
             self._params = jax.device_put(params)
-            self._img_sharding = self._mask_sharding = None
+            self._img_sharding = self._size_sharding = None
 
         # instance-mask models: fetch stride-4 mask logits for the top
         # mask_top_k detections only (static shape; bounds the per-batch
@@ -126,7 +136,23 @@ class InferenceServer:
         self._with_masks = bool(getattr(model, "with_masks", False))
         self.mask_top_k = min(int(mask_top_k), self.num_select)
 
-        def _step(p, images, pad_mask):
+        H, W = self.canvas_hw
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+        def _step(p, images_u8, real_hw):
+            # uint8 wire format (module docstring): normalize + pad mask are
+            # rebuilt on device — the normalize fuses into the backbone's
+            # first conv, the mask is two iota compares
+            B = images_u8.shape[0]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+            pad_mask = (rows >= real_hw[:, 0, None, None]) | (
+                cols >= real_hw[:, 1, None, None])
+            images = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+            # the f32 host pipeline zero-pads AFTER normalizing
+            # (native.resize_normalize_pad); reproduce that exactly
+            images = jnp.where(pad_mask[..., None], 0.0, images)
             out = model.apply(p, images, pad_mask, train=False)
             # target_sizes (1,1): normalized boxes relative to the real
             # (unpadded) extent — scaled to original pixels host-side per
@@ -166,7 +192,10 @@ class InferenceServer:
         # unbounded)
         self._hbm_slots = threading.Semaphore(max(1, int(max_in_flight)))
         self._in_flight: "queue.Queue" = queue.Queue()
+        # assembled batches waiting for a dispatcher (upload + jit dispatch)
+        self._dispatch_q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._wedged = False  # set when HBM slots stop freeing at close
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "batch_slots": 0,
@@ -177,6 +206,16 @@ class InferenceServer:
         self._batcher = threading.Thread(
             target=self._batch_loop, name="serve-batcher", daemon=True
         )
+        # several dispatchers upload + dispatch different batches
+        # concurrently: through a bandwidth-limited host<->device link the
+        # serial upload IS the serving rate (measured 28.5 MB/s serial vs
+        # 39.3 MB/s at 4 concurrent uploads on this relay, ROADMAP round 4),
+        # and batch order is free (futures resolve independently)
+        self._dispatchers = [
+            threading.Thread(target=self._dispatch_loop,
+                             name=f"serve-dispatcher-{i}", daemon=True)
+            for i in range(max(1, int(dispatcher_threads)))
+        ]
         # several collectors fetch different in-flight batches
         # concurrently, overlapping the per-batch device->host round-trip
         # latency (futures resolve independently, so order is free)
@@ -186,6 +225,8 @@ class InferenceServer:
             for i in range(max(1, int(collector_threads)))
         ]
         self._batcher.start()
+        for d in self._dispatchers:
+            d.start()
         for c in self._collectors:
             c.start()
 
@@ -194,11 +235,11 @@ class InferenceServer:
     def warmup(self):
         """Compile + first-dispatch outside the serving path."""
         H, W = self.canvas_hw
-        z, m = self._put(
-            np.zeros((self.batch_size, H, W, 3), np.float32),
-            np.zeros((self.batch_size, H, W), bool),
+        z, s = self._put(
+            np.zeros((self.batch_size, H, W, 3), np.uint8),
+            np.tile(np.int32([H, W]), (self.batch_size, 1)),
         )
-        r = self._step(self._params, z, m)
+        r = self._step(self._params, z, s)
         jax.block_until_ready(r)
 
     def submit(self, img_u8: np.ndarray,
@@ -216,9 +257,9 @@ class InferenceServer:
         if img_u8.ndim != 3 or img_u8.shape[2] != 3:
             raise ValueError(f"expected [h, w, 3] image, got {img_u8.shape}")
         h0, w0 = img_u8.shape[:2]
-        image, pad_mask, real_hw = self._preprocess(img_u8.astype(np.uint8))
+        image, real_hw = self._preprocess(img_u8.astype(np.uint8))
         fut: Future = Future()
-        self._queue.put(_Request(image, pad_mask, (h0, w0), real_hw, fut),
+        self._queue.put(_Request(image, (h0, w0), real_hw, fut),
                         timeout=timeout)
         return fut
 
@@ -242,6 +283,14 @@ class InferenceServer:
         s["queue_depth"] = self._queue.qsize()
         return s
 
+    def reset_stats(self):
+        """Zero counters and the latency ring (e.g. after warmup, so
+        benchmark tails reflect steady state, not compile/tunnel warm-up)."""
+        with self._stats_lock:
+            for k in self._stats:
+                self._stats[k] = 0 if k != "latency_sum_s" else 0.0
+            self._latencies.clear()
+
     def close(self):
         self._stop.set()
         self._queue.put(None)  # wake the batcher
@@ -257,6 +306,19 @@ class InferenceServer:
                 break
             if it is not None:
                 it.future.set_exception(RuntimeError("server closed"))
+        for _ in self._dispatchers:
+            self._dispatch_q.put(None)
+        for d in self._dispatchers:
+            d.join(timeout=30)
+        # drain assembled batches a dispatcher never picked up
+        while True:
+            try:
+                got = self._dispatch_q.get_nowait()
+            except queue.Empty:
+                break
+            if got is not None:
+                for it in got[2]:
+                    it.future.set_exception(RuntimeError("server closed"))
         for _ in self._collectors:
             self._in_flight.put(None)
         for c in self._collectors:
@@ -270,11 +332,11 @@ class InferenceServer:
 
     # ---------------- pipeline threads ----------------
 
-    def _put(self, images: np.ndarray, masks: np.ndarray):
+    def _put(self, images: np.ndarray, sizes: np.ndarray):
         if self._img_sharding is not None:
             return (jax.device_put(images, self._img_sharding),
-                    jax.device_put(masks, self._mask_sharding))
-        return jnp.asarray(images), jnp.asarray(masks)
+                    jax.device_put(sizes, self._size_sharding))
+        return jnp.asarray(images), jnp.asarray(sizes)
 
     def _preprocess(self, img_u8: np.ndarray):
         H, W = self.canvas_hw
@@ -285,12 +347,8 @@ class InferenceServer:
         if oh > H or ow > W:  # canvas must fit the resized extent
             s = min(H / oh, W / ow)
             oh, ow = int(oh * s), int(ow * s)
-        canvas = native.resize_normalize_pad(
-            img_u8, (oh, ow), (H, W), IMAGENET_MEAN, IMAGENET_STD
-        )
-        pad_mask = np.ones((H, W), bool)
-        pad_mask[:oh, :ow] = False
-        return canvas, pad_mask, (oh, ow)
+        canvas = native.resize_pad_u8(img_u8, (oh, ow), (H, W))
+        return canvas, (oh, ow)
 
     def _batch_loop(self):
         H, W = self.canvas_hw
@@ -316,37 +374,12 @@ class InferenceServer:
                     self._stop.set()
                     break
                 items.append(nxt)
-            images = np.zeros((B, H, W, 3), np.float32)
-            masks = np.ones((B, H, W), bool)
+            images = np.zeros((B, H, W, 3), np.uint8)
+            sizes = np.zeros((B, 2), np.int32)  # empty slots: fully padded
             for i, it in enumerate(items):
                 images[i] = it.image
-                masks[i] = it.pad_mask
-            # take an HBM slot BEFORE dispatch (released by the collector
-            # once the fetch is done) — waiting here is the backpressure
-            got_slot = self._hbm_slots.acquire(timeout=0.1)
-            stop_deadline = None
-            while not got_slot:
-                if self._stop.is_set():
-                    if stop_deadline is None:
-                        stop_deadline = time.monotonic() + 10.0
-                    elif time.monotonic() > stop_deadline:
-                        break  # slots never freed: device is wedged
-                got_slot = self._hbm_slots.acquire(timeout=0.1)
-            if not got_slot:
-                for it in items:
-                    it.future.set_exception(RuntimeError("server closed"))
-                break
-            try:
-                dev_images, dev_masks = self._put(images, masks)
-                res = self._step(self._params, dev_images, dev_masks)
-            except Exception as e:  # compile/dispatch failure → fail futures
-                self._hbm_slots.release()
-                for it in items:
-                    it.future.set_exception(e)
-                continue
-            # async dispatch: hand the device arrays to the collector and
-            # immediately start preprocessing/dispatching the next batch
-            self._in_flight.put((res, items))
+                sizes[i] = it.real_hw
+            self._dispatch_q.put((images, sizes, items))
         # drain: fail anything still queued after stop
         while True:
             try:
@@ -355,6 +388,42 @@ class InferenceServer:
                 break
             if it is not None:
                 it.future.set_exception(RuntimeError("server closed"))
+
+    def _dispatch_loop(self):
+        while True:
+            got = self._dispatch_q.get()
+            if got is None:
+                break
+            images, sizes, items = got
+            # take an HBM slot BEFORE the upload (released by the collector
+            # once the fetch is done and the device buffers are dropped) —
+            # waiting here is the backpressure
+            got_slot = self._hbm_slots.acquire(timeout=0.1)
+            stop_deadline = None
+            while not got_slot and not self._wedged:
+                if self._stop.is_set():
+                    if stop_deadline is None:
+                        stop_deadline = time.monotonic() + 10.0
+                    elif time.monotonic() > stop_deadline:
+                        # slots never freed: device is wedged — fail fast
+                        # from here on instead of 10 s per queued batch
+                        self._wedged = True
+                got_slot = self._hbm_slots.acquire(timeout=0.1)
+            if not got_slot:
+                for it in items:
+                    it.future.set_exception(RuntimeError("server closed"))
+                continue
+            try:
+                dev_images, dev_sizes = self._put(images, sizes)
+                res = self._step(self._params, dev_images, dev_sizes)
+            except Exception as e:  # compile/dispatch failure → fail futures
+                self._hbm_slots.release()
+                for it in items:
+                    it.future.set_exception(e)
+                continue
+            # async dispatch: hand the device arrays to the collector and
+            # immediately pick up the next assembled batch
+            self._in_flight.put((res, items))
 
     def _collect_loop(self):
         while True:

@@ -30,3 +30,40 @@ def test_identity_resize_matches_plain_normalize():
                                       IMAGENET_MEAN, IMAGENET_STD)
     want = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_pad_u8_native_matches_fallback():
+    """The serving wire-format op: native u8 resize vs the numpy oracle.
+    Both must use the same sampling AND the same trunc(v+0.5) rounding."""
+    if native.get_lib() is None:
+        pytest.skip("g++ unavailable")
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (41, 59, 3), np.uint8)
+    got = native.resize_pad_u8(img, (22, 33), (24, 40))
+    # force the numpy fallback by bypassing the lib
+    lib, native._lib = native._lib, None
+    try:
+        import unittest.mock as mock
+        with mock.patch.object(native, "get_lib", return_value=None):
+            want = native.resize_pad_u8(img, (22, 33), (24, 40))
+    finally:
+        native._lib = lib
+    assert got.dtype == np.uint8 and got.shape == (24, 40, 3)
+    # identical sampling; allow 1 count where float rounding straddles .5
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert np.all(got[22:] == 0) and np.all(got[:, 33:] == 0)
+
+
+def test_resize_pad_u8_quantization_vs_f32_pipeline():
+    """u8 ingest (serve.py) deviates from the f32 preprocess only by pixel
+    quantization: <= (0.5/255)/std per channel after normalization."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    u8 = native.resize_pad_u8(img, (20, 30), (24, 32))
+    f32 = native.resize_normalize_pad(img, (20, 30), (24, 32),
+                                      IMAGENET_MEAN, IMAGENET_STD)
+    norm = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    norm[20:] = 0.0
+    norm[:, 30:] = 0.0
+    bound = (0.5 / 255.0) / np.asarray(IMAGENET_STD) + 1e-5
+    assert (np.abs(norm - f32) <= bound).all()

@@ -61,12 +61,12 @@ def test_batched_equals_direct(tiny_model_params):
     with _server(model, params) as srv:
         res = srv.detect(img)
 
-        canvas, pad_mask, _ = srv._preprocess(img)
-        images = np.zeros((2, *CANVAS, 3), np.float32)
-        masks = np.ones((2, *CANVAS), bool)
-        images[0], masks[0] = canvas, pad_mask
+        canvas, real_hw = srv._preprocess(img)
+        images = np.zeros((2, *CANVAS, 3), np.uint8)
+        sizes = np.zeros((2, 2), np.int32)
+        images[0], sizes[0] = canvas, real_hw
         (packed,) = srv._step(srv._params, jnp.asarray(images),
-                              jnp.asarray(masks))
+                              jnp.asarray(sizes))
         packed = np.asarray(packed, np.float32)
         s, l, b = packed[..., 0], packed[..., 1].astype(np.int32), packed[..., 2:6]
     h0, w0 = img.shape[:2]
@@ -187,12 +187,12 @@ def test_masks_model_serving(tiny_model_params):
     img = _rand_img(rng, 70, 100)
     with _server(model, params, num_select=6, mask_top_k=4) as srv:
         res = srv.detect(img)
-        canvas, pad_mask, real_hw = srv._preprocess(img)
-        images = np.zeros((2, *CANVAS, 3), np.float32)
-        masks = np.ones((2, *CANVAS), bool)
-        images[0], masks[0] = canvas, pad_mask
+        canvas, real_hw = srv._preprocess(img)
+        images = np.zeros((2, *CANVAS, 3), np.uint8)
+        sizes = np.zeros((2, 2), np.int32)
+        images[0], sizes[0] = canvas, real_hw
         _, pm = srv._step(srv._params, jnp.asarray(images),
-                          jnp.asarray(masks))
+                          jnp.asarray(sizes))
     assert len(res["masks"]) == 6  # threshold 0 keeps all num_select
     assert res["masks"][4] is None and res["masks"][5] is None  # > top_k
     h0, w0 = img.shape[:2]
@@ -371,8 +371,8 @@ def test_close_drains_raced_submit(tiny_model_params):
     from datr_tpu.serve import _Request
 
     fut = Future()
-    srv._queue.put(_Request(np.zeros((*CANVAS, 3), np.float32),
-                            np.ones(CANVAS, bool), (10, 10), (10, 10), fut))
+    srv._queue.put(_Request(np.zeros((*CANVAS, 3), np.uint8),
+                            (10, 10), (10, 10), fut))
     srv.close()
     with pytest.raises(RuntimeError, match="closed"):
         fut.result(timeout=5)

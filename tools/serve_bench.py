@@ -36,6 +36,16 @@ def main():
     ap.add_argument("--warm_images", type=int, default=8)
     ap.add_argument("--in_flight", type=int, default=4)
     ap.add_argument("--collectors", type=int, default=4)
+    ap.add_argument("--dispatchers", type=int, default=4,
+                    help="concurrent upload+dispatch threads (the serial "
+                         "host->device upload caps the rate through a "
+                         "bandwidth-limited link)")
+    ap.add_argument("--points", type=int, default=4,
+                    help="enc/dec sampling points (2 = the fast config)")
+    ap.add_argument("--clients", type=int, default=4,
+                    help="concurrent submitter threads (emulates the HTTP "
+                         "front-end's handler threads; host preprocess "
+                         "runs in the submitter, so 1 client serializes it)")
     args = ap.parse_args()
 
     if not args.chip:
@@ -50,6 +60,7 @@ def main():
             num_classes=9, num_queries=900, hidden_dim=256, nheads=8,
             enc_layers=6, dec_layers=6, dim_feedforward=2048,
             dn_number=100, dn_single_pad=20, dn_labelbook_size=9,
+            enc_n_points=args.points, dec_n_points=args.points,
             use_remat=False, dtype=jnp.bfloat16,
         )
         src_hw = (1024, 2048)  # Cityscapes-like input
@@ -82,6 +93,7 @@ def main():
         batch_timeout_s=0.5,
         max_in_flight=args.in_flight,
         collector_threads=args.collectors,
+        dispatcher_threads=args.dispatchers,
     )
     try:
         srv.warmup()
@@ -90,11 +102,29 @@ def main():
         for f in [srv.submit(imgs[i % len(imgs)])
                   for i in range(args.warm_images)]:
             f.result(timeout=600)
+        srv.reset_stats()  # tails must reflect steady state, not warm-up
 
         t0 = time.perf_counter()
-        futs = [srv.submit(imgs[i % len(imgs)]) for i in range(args.images)]
-        for f in futs:
-            f.result(timeout=600)
+        if args.clients <= 1:
+            for f in [srv.submit(imgs[i % len(imgs)])
+                      for i in range(args.images)]:
+                f.result(timeout=600)
+        else:
+            import threading
+
+            per = [range(c, args.images, args.clients)
+                   for c in range(args.clients)]
+
+            def run_client(idxs):
+                for i in idxs:
+                    srv.submit(imgs[i % len(imgs)]).result(timeout=600)
+
+            ts = [threading.Thread(target=run_client, args=(p,))
+                  for p in per]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
         dt = time.perf_counter() - t0
         st = srv.stats()
     finally:
@@ -107,6 +137,13 @@ def main():
         "images": args.images,
         "mean_batch_occupancy": round(st["mean_batch_occupancy"], 3),
         "mean_latency_s": round(st["mean_latency_s"], 4),
+        "p50_latency_s": round(st.get("p50_latency_s", 0.0), 4),
+        "p95_latency_s": round(st.get("p95_latency_s", 0.0), 4),
+        "points": args.points,
+        "clients": args.clients,
+        "in_flight": args.in_flight,
+        "collectors": args.collectors,
+        "dispatchers": args.dispatchers,
     }))
 
 
