@@ -650,6 +650,12 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--num_select", type=int, default=300)
     ap.add_argument("--threshold", type=float, default=0.2)
     ap.add_argument("--batch_timeout_ms", type=float, default=20.0)
+    ap.add_argument("--in_flight", type=int, default=2,
+                    help="max live batches in HBM (backpressure bound)")
+    ap.add_argument("--collectors", type=int, default=2,
+                    help="concurrent device->host result-fetch threads")
+    ap.add_argument("--dispatchers", type=int, default=2,
+                    help="concurrent host->device upload+dispatch threads")
     args = ap.parse_args(argv)
 
     from .config import apply_overrides, load_config
@@ -665,6 +671,8 @@ def main(argv: Optional[List[str]] = None):
         model, params, canvas_hw=canvas, batch_size=args.batch_size,
         num_select=args.num_select, score_threshold=args.threshold,
         batch_timeout_s=args.batch_timeout_ms / 1e3,
+        max_in_flight=args.in_flight, collector_threads=args.collectors,
+        dispatcher_threads=args.dispatchers,
     )
     print(json.dumps({"serve": "warmup (compile + first dispatch)"}))
     srv.warmup()
