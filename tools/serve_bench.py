@@ -53,6 +53,13 @@ def main():
                     help="concurrent submitter threads (emulates the HTTP "
                          "front-end's handler threads; host preprocess "
                          "runs in the submitter, so 1 client serializes it)")
+    ap.add_argument("--http", action="store_true",
+                    help="drive the real HTTP front-end instead of the "
+                         "in-process API: spins serve_http on --port and "
+                         "POSTs JPEG-encoded images from --clients threads "
+                         "(includes JPEG decode + JSON encode in the "
+                         "measured path)")
+    ap.add_argument("--port", type=int, default=18731)
     args = ap.parse_args()
 
     if not args.chip:
@@ -104,6 +111,7 @@ def main():
         collector_threads=args.collectors,
         dispatcher_threads=args.dispatchers,
     )
+    httpd = None
     try:
         srv.warmup()
         # warm the full path incl. result fetches (first fetch pays the
@@ -113,11 +121,70 @@ def main():
             f.result(timeout=600)
         srv.reset_stats()  # tails must reflect steady state, not warm-up
 
-        t0 = time.perf_counter()
-        if args.clients <= 1:
+        if args.http:
+            # the production surface: JPEG POST -> JSON detections
+            import io
+            import threading
+            import urllib.request
+
+            from PIL import Image
+
+            from datr_tpu.serve import serve_http
+
+            httpd = serve_http(srv, port=args.port, start=False,
+                               result_timeout_s=600.0)
+            th = threading.Thread(target=httpd.serve_forever, daemon=True)
+            th.start()
+            url = f"http://127.0.0.1:{args.port}/detect"
+            jpegs = []
+            for im in imgs:
+                buf = io.BytesIO()
+                Image.fromarray(im).save(buf, format="JPEG", quality=90)
+                jpegs.append(buf.getvalue())
+            lat_lock = threading.Lock()
+            client_lats = []
+
+            def post(i):
+                t = time.perf_counter()
+                with urllib.request.urlopen(
+                    urllib.request.Request(
+                        url, data=jpegs[i % len(jpegs)], method="POST"
+                    ), timeout=600,
+                ) as r:
+                    json.loads(r.read())
+                with lat_lock:
+                    client_lats.append(time.perf_counter() - t)
+
+            post(0)  # warm the HTTP path itself
+            srv.reset_stats()
+            client_lats.clear()
+            t0 = time.perf_counter()
+            per = [range(c, args.images, args.clients)
+                   for c in range(max(1, args.clients))]
+
+            def run_http_client(idxs):
+                for i in idxs:
+                    post(i)
+
+            ts = [threading.Thread(target=run_http_client, args=(p,))
+                  for p in per]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            dt = time.perf_counter() - t0
+            st = srv.stats()
+            client_lats.sort()
+            st["p50_latency_s"] = client_lats[len(client_lats) // 2]
+            st["p95_latency_s"] = client_lats[
+                min(len(client_lats) - 1, int(len(client_lats) * 0.95))]
+        elif args.clients <= 1:
+            t0 = time.perf_counter()
             for f in [srv.submit(imgs[i % len(imgs)])
                       for i in range(args.images)]:
                 f.result(timeout=600)
+            dt = time.perf_counter() - t0
+            st = srv.stats()
         else:
             import threading
 
@@ -130,17 +197,21 @@ def main():
 
             ts = [threading.Thread(target=run_client, args=(p,))
                   for p in per]
+            t0 = time.perf_counter()
             for t in ts:
                 t.start()
             for t in ts:
                 t.join()
-        dt = time.perf_counter() - t0
-        st = srv.stats()
+            dt = time.perf_counter() - t0
+            st = srv.stats()
     finally:
+        if httpd is not None:
+            httpd.shutdown()
         srv.close()
 
     print(json.dumps({
-        "metric": "serving images/sec (end-to-end, batch %d)" % args.batch,
+        "metric": "serving images/sec (%s, batch %d)" % (
+            "HTTP end-to-end" if args.http else "end-to-end", args.batch),
         "value": round(args.images / dt, 2),
         "unit": "images/sec",
         "images": args.images,
