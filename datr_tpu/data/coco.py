@@ -21,6 +21,22 @@ from PIL import Image
 from .strong_aug import strong_augment
 
 
+def open_rgb(path: str) -> Image.Image:
+    """Open an image as RGB, decoding JPEGs through the native libjpeg
+    kernel when available (bit-identical to PIL — both run libjpeg-turbo's
+    baseline islow IDCT, tests/test_native_image_ops.py — but the ctypes
+    call releases the GIL, so loader threads decode in parallel instead of
+    serializing against the training loop)."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from .. import native
+
+        with open(path, "rb") as f:
+            arr = native.decode_jpeg_rgb(f.read())
+        if arr is not None:
+            return Image.fromarray(arr)
+    return Image.open(path).convert("RGB")
+
+
 def decode_segmentation(seg, h: int, w: int) -> np.ndarray:
     """COCO 'segmentation' field -> binary mask [h, w] uint8.
 
@@ -97,7 +113,7 @@ class CocoDetectionDataset:
         image_id = self.index.image_ids[i]
         info = self.index.images[image_id]
         path = os.path.join(self.img_dir, info["file_name"])
-        img = Image.open(path).convert("RGB")
+        img = open_rgb(path)
         w, h = img.size
 
         boxes, labels, masks = [], [], []

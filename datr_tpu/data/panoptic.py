@@ -16,6 +16,8 @@ from typing import Tuple
 import numpy as np
 from PIL import Image
 
+from .coco import open_rgb
+
 
 def rgb2id(color: np.ndarray) -> np.ndarray:
     """[H, W, 3] uint8 -> [H, W] int32 segment ids."""
@@ -86,7 +88,7 @@ class CocoPanopticDataset:
         fname = ann_info["file_name"]
         img_path = os.path.join(self.img_folder,
                                 fname.replace(".png", ".jpg"))
-        img = Image.open(img_path).convert("RGB")
+        img = open_rgb(img_path)
         w, h = img.size
 
         boxes = np.zeros((0, 4), np.float32)

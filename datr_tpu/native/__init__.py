@@ -20,15 +20,18 @@ _lib = None
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
-             _SRC, "-o", _SO],
-            check=True, capture_output=True,
-        )
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
+            _SRC, "-o", _SO]
+    # Prefer a libjpeg-linked build (native GIL-free JPEG decode for the
+    # serving front-end); fall back to a jpeg-less build where the dev
+    # headers are absent (decode_jpeg_rgb then returns None -> PIL path).
+    for cmd in (base + ["-ljpeg"], base + ["-DDATR_NO_JPEG"]):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib():
@@ -54,6 +57,17 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
     ]
+    lib.jpeg_probe.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.jpeg_probe.restype = ctypes.c_int
+    lib.jpeg_decode_rgb.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.jpeg_decode_rgb.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -114,6 +128,52 @@ def _numpy_resize_normalize_pad(img_u8, out_hw, canvas_hw, mean, std):
     canvas = np.zeros((H, W, 3), np.float32)
     canvas[:dh, :dw] = out
     return canvas
+
+
+def decode_jpeg_rgb(data: bytes, scale_num: int = 8):
+    """Decode JPEG bytes to an RGB uint8 array via libjpeg, GIL-free.
+
+    ctypes releases the GIL for the whole call, so concurrent HTTP handler
+    threads (serve.py) decode in parallel — PIL's open/convert/asarray chain
+    serializes on the GIL and was the measured 0.35 s/img gap between the
+    HTTP surface and the in-process serving API (ROADMAP.md round 4).
+
+    scale_num/8 applies libjpeg-turbo's DCT-domain scaling: decoding a
+    1024x2048 source at scale_num=6 yields 768x1536 directly at ~(6/8)^2 of
+    the full-decode cost — useful when the serving canvas is smaller than
+    the source (the result is bilinearly resized to target afterwards
+    anyway).
+
+    Returns None when the input is not a decodable JPEG (or the native lib
+    is unavailable) — callers fall back to PIL.
+    """
+    lib = get_lib()
+    if lib is None or not data or not hasattr(lib, "jpeg_probe"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.jpeg_probe(src, buf.size, ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    s = min(max(int(scale_num), 1), 8)
+    dh = -(-h.value * s // 8)  # libjpeg's ceil(dim * num / 8)
+    dw = -(-w.value * s // 8)
+    out = np.empty((dh, dw, 3), np.uint8)
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    rc = lib.jpeg_decode_rgb(
+        src, buf.size, s,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        ctypes.byref(oh), ctypes.byref(ow),
+    )
+    if rc != 0:
+        return None
+    if (oh.value, ow.value) != (dh, dw):  # defensive: trust the decoder
+        out = out.reshape(-1)[: oh.value * ow.value * 3].reshape(
+            oh.value, ow.value, 3
+        ).copy()
+    return out
 
 
 def resize_pad_u8(img_u8: np.ndarray, out_hw, canvas_hw) -> np.ndarray:

@@ -12,8 +12,14 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+
+#ifndef DATR_NO_JPEG
+#include <jpeglib.h>
+#endif
 
 extern "C" {
 
@@ -101,6 +107,124 @@ void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
       }
     }
   }
+}
+
+// ---------------- JPEG decode (libjpeg-turbo, 6.2 ABI) ----------------
+//
+// The serving HTTP front-end's per-request decode (serve.py:do_POST) is the
+// measured gap between the HTTP surface and the in-process API: PIL's
+// open/convert/asarray chain holds the GIL for most of its work, so N
+// handler threads decode at ~1x speed. ctypes releases the GIL for the
+// whole native call, so these decode in parallel across handler threads.
+//
+// scale_num selects libjpeg-turbo's DCT-domain scaling (scale_num/8, with
+// scale_num in 1..8 here): a decode directly at a reduced size costs
+// roughly (scale_num/8)^2 of the full decode. Full-scale (8) output is the
+// same baseline islow IDCT PIL uses.
+
+#ifndef DATR_NO_JPEG
+
+namespace {
+struct DatrJpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void datr_jpeg_error_exit(j_common_ptr cinfo) {
+  // default handler calls exit(); longjmp back to the decode call instead
+  DatrJpegErr* err = reinterpret_cast<DatrJpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+void datr_jpeg_emit_message(j_common_ptr, int) {}  // silence warnings
+}  // namespace
+
+#endif  // DATR_NO_JPEG
+
+// Parse the JPEG header only. Returns 0 and fills (h, w) on success,
+// nonzero on parse failure / non-JPEG input / jpeg-less build.
+int jpeg_probe(const uint8_t* data, int64_t len, int* h, int* w) {
+#ifdef DATR_NO_JPEG
+  (void)data; (void)len; (void)h; (void)w;
+  return -1;
+#else
+  jpeg_decompress_struct cinfo;
+  DatrJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = datr_jpeg_error_exit;
+  jerr.pub.emit_message = datr_jpeg_emit_message;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+#endif
+}
+
+// Decode to tightly-packed RGB uint8. out must hold
+// ceil(h*scale_num/8) * ceil(w*scale_num/8) * 3 bytes (dims from
+// jpeg_probe). Fills (out_h, out_w) with the actual decoded dims.
+// Returns 0 on success; nonzero on error (corrupt stream, unsupported
+// color space, undersized buffer).
+int jpeg_decode_rgb(const uint8_t* data, int64_t len, int scale_num,
+                    uint8_t* out, int64_t out_cap, int* out_h, int* out_w) {
+#ifdef DATR_NO_JPEG
+  (void)data; (void)len; (void)scale_num; (void)out; (void)out_cap;
+  (void)out_h; (void)out_w;
+  return -1;
+#else
+  jpeg_decompress_struct cinfo;
+  DatrJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = datr_jpeg_error_exit;
+  jerr.pub.emit_message = datr_jpeg_emit_message;
+  bool started = false;
+  if (setjmp(jerr.jump)) {
+    if (started) jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  cinfo.out_color_space = JCS_RGB;  // YCbCr/gray -> RGB in-decoder
+  cinfo.scale_num = static_cast<unsigned>(std::clamp(scale_num, 1, 8));
+  cinfo.scale_denom = 8;
+  if (!jpeg_start_decompress(&cinfo)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  started = true;
+  if (cinfo.output_components != 3 ||
+      static_cast<int64_t>(cinfo.output_height) * cinfo.output_width * 3 >
+          out_cap) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  const int64_t stride = static_cast<int64_t>(cinfo.output_width) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + static_cast<int64_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  *out_h = static_cast<int>(cinfo.output_height);
+  *out_w = static_cast<int>(cinfo.output_width);
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+#endif
 }
 
 }  // extern "C"

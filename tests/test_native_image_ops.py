@@ -67,3 +67,83 @@ def test_resize_pad_u8_quantization_vs_f32_pipeline():
     norm[:, 30:] = 0.0
     bound = (0.5 / 255.0) / np.asarray(IMAGENET_STD) + 1e-5
     assert (np.abs(norm - f32) <= bound).all()
+
+
+# ---------------- native JPEG decode (serving front-end) ----------------
+
+
+def _jpeg_bytes(img_u8, quality=90, mode=None):
+    import io
+
+    from PIL import Image
+
+    im = Image.fromarray(img_u8) if mode is None else Image.fromarray(
+        img_u8, mode=mode)
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_decode_jpeg_rgb_matches_pil():
+    """Full-scale native decode is bit-identical to PIL (both run the same
+    libjpeg-turbo baseline islow IDCT)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (120, 200, 3), np.uint8)
+    raw = _jpeg_bytes(img)
+    got = native.decode_jpeg_rgb(raw)
+    if got is None:
+        pytest.skip("libjpeg build unavailable")
+    want = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+    assert got.shape == want.shape == (120, 200, 3)
+    assert np.array_equal(got, want)
+
+
+def test_decode_jpeg_rgb_grayscale_promotes_to_rgb():
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (64, 80), np.uint8)
+    raw = _jpeg_bytes(img, mode="L")
+    got = native.decode_jpeg_rgb(raw)
+    if got is None:
+        pytest.skip("libjpeg build unavailable")
+    want = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+    assert got.shape == (64, 80, 3)
+    assert np.array_equal(got, want)
+
+
+def test_decode_jpeg_rgb_dct_scaling_dims():
+    """scale_num/8 DCT scaling yields libjpeg's ceil(dim*num/8) output."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (101, 163, 3), np.uint8)
+    raw = _jpeg_bytes(img)
+    if native.decode_jpeg_rgb(raw) is None:
+        pytest.skip("libjpeg build unavailable")
+    for s in (1, 3, 4, 6, 8):
+        out = native.decode_jpeg_rgb(raw, scale_num=s)
+        assert out.shape == (-(-101 * s // 8), -(-163 * s // 8), 3), s
+
+
+def test_decode_jpeg_rgb_rejects_non_jpeg():
+    assert native.decode_jpeg_rgb(b"") is None
+    assert native.decode_jpeg_rgb(b"not a jpeg at all") is None
+    assert native.decode_jpeg_rgb(b"\x89PNG\r\n\x1a\n" + b"\0" * 64) is None
+
+
+def test_decode_jpeg_rgb_truncated_stream():
+    """A truncated JPEG must fail cleanly (error-exit longjmp), not crash
+    or hang — serving receives arbitrary client bytes."""
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    raw = _jpeg_bytes(img)
+    if native.decode_jpeg_rgb(raw) is None:
+        pytest.skip("libjpeg build unavailable")
+    # libjpeg treats a hard-truncated scan as a warning + gray fill, so a
+    # header-only prefix is the reliable "must fail" case
+    assert native.decode_jpeg_rgb(raw[:20]) is None
