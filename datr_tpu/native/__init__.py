@@ -57,6 +57,10 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
     ]
+    lib.rgb_to_yuv420.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.jpeg_probe.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -174,6 +178,53 @@ def decode_jpeg_rgb(data: bytes, scale_num: int = 8):
             oh.value, ow.value, 3
         ).copy()
     return out
+
+
+def rgb_to_yuv420(canvas_u8: np.ndarray, real_hw=None) -> np.ndarray:
+    """Planar I420 (YUV 4:2:0, full-range BT.601/JFIF) from an RGB canvas.
+
+    The serving wire format below uint8 RGB: 1.5 bytes/px. JPEG-sourced
+    inputs are already 4:2:0-subsampled, so this discards nothing the
+    client's JPEG kept (serve.py wire_format='yuv420' reconstructs RGB on
+    device). Chroma 2x2 averages clamp to `real_hw` so zero pads never
+    bleed into real boundary pixels' chroma. Returns flat uint8
+    [H*W*3//2]: Y plane then U then V; H, W must be even."""
+    H, W = canvas_u8.shape[:2]
+    if H % 2 or W % 2:
+        raise ValueError(f"yuv420 needs an even canvas, got {(H, W)}")
+    rh, rw = (int(real_hw[0]), int(real_hw[1])) if real_hw else (H, W)
+    rh, rw = (rh or H), (rw or W)
+    lib = get_lib()
+    if lib is not None:
+        src = np.ascontiguousarray(canvas_u8, np.uint8)
+        out = np.empty(H * W * 3 // 2, np.uint8)
+        lib.rgb_to_yuv420(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W,
+            rh, rw, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+    return _numpy_rgb_to_yuv420(canvas_u8, (rh, rw))
+
+
+def _numpy_rgb_to_yuv420(canvas_u8, real_hw):
+    """Fallback with the native kernel's exact math (also its test oracle)."""
+    H, W = canvas_u8.shape[:2]
+    rh, rw = real_hw
+    f = canvas_u8.astype(np.float32)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    yp = np.trunc(y + 0.5).astype(np.uint8)
+    # chroma: 2x2 block average with sample coords clamped to the real extent
+    ri = np.minimum(np.arange(H), rh - 1)
+    ci = np.minimum(np.arange(W), rw - 1)
+    g = f[ri][:, ci]
+    blk = g.reshape(H // 2, 2, W // 2, 2, 3).mean(axis=(1, 3))
+    u = 128.0 - 0.168736 * blk[..., 0] - 0.331264 * blk[..., 1] \
+        + 0.5 * blk[..., 2]
+    v = 128.0 + 0.5 * blk[..., 0] - 0.418688 * blk[..., 1] \
+        - 0.081312 * blk[..., 2]
+    up = np.trunc(np.clip(u + 0.5, 0, 255)).astype(np.uint8)
+    vp = np.trunc(np.clip(v + 0.5, 0, 255)).astype(np.uint8)
+    return np.concatenate([yp.ravel(), up.ravel(), vp.ravel()])
 
 
 def resize_pad_u8(img_u8: np.ndarray, out_hw, canvas_hw) -> np.ndarray:

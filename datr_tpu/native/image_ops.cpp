@@ -109,6 +109,70 @@ void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
   }
 }
 
+// RGB canvas -> planar I420 (YUV 4:2:0, full-range BT.601 / JFIF matrix).
+//
+// The serving wire format's next rung below uint8 RGB: 1.5 bytes/px vs 3.
+// Through a bandwidth-limited host->device link the upload IS the serving
+// rate (ROADMAP round 4: 28.5 MB/s relay, end-to-end == link rate), and
+// JPEG-sourced inputs are ALREADY 4:2:0 chroma-subsampled, so shipping
+// YUV420 and reconstructing RGB on device loses nothing the client's JPEG
+// hadn't already discarded. The device step (serve.py) upsamples chroma
+// 2x-nearest and applies the inverse matrix; both fuse into the backbone's
+// first conv.
+//
+// src is the zero-padded [H, W, 3] canvas; (real_h, real_w) is the unpadded
+// extent. Chroma 2x2 block averages CLAMP their sample coords to the real
+// extent so pad zeros never bleed into the chroma of real boundary pixels
+// (blocks fully inside the pad replicate edge chroma — harmless, the device
+// re-zeros pads from the mask). out: Y [H*W] then U,V [(H/2)*(W/2)] each;
+// H and W must be even.
+void rgb_to_yuv420(const uint8_t* src, int H, int W, int real_h, int real_w,
+                   uint8_t* out) {
+  uint8_t* Y = out;
+  uint8_t* U = out + static_cast<int64_t>(H) * W;
+  uint8_t* V = U + static_cast<int64_t>(H / 2) * (W / 2);
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < H; ++y) {
+    const uint8_t* row = src + static_cast<int64_t>(y) * W * 3;
+    uint8_t* yrow = Y + static_cast<int64_t>(y) * W;
+    for (int x = 0; x < W; ++x) {
+      const float r = row[x * 3], g = row[x * 3 + 1], b = row[x * 3 + 2];
+      yrow[x] = static_cast<uint8_t>(
+          0.299f * r + 0.587f * g + 0.114f * b + 0.5f);
+    }
+  }
+  const int ch = H / 2, cw = W / 2;
+  const int yh = real_h > 0 ? real_h : H;
+  const int yw = real_w > 0 ? real_w : W;
+#pragma omp parallel for schedule(static)
+  for (int by = 0; by < ch; ++by) {
+    uint8_t* urow = U + static_cast<int64_t>(by) * cw;
+    uint8_t* vrow = V + static_cast<int64_t>(by) * cw;
+    for (int bx = 0; bx < cw; ++bx) {
+      float r = 0, g = 0, b = 0;
+      for (int dy = 0; dy < 2; ++dy) {
+        const int sy = std::min(2 * by + dy, yh - 1);
+        const uint8_t* row = src + static_cast<int64_t>(sy) * W * 3;
+        for (int dx = 0; dx < 2; ++dx) {
+          const int sx = std::min(2 * bx + dx, yw - 1);
+          r += row[sx * 3];
+          g += row[sx * 3 + 1];
+          b += row[sx * 3 + 2];
+        }
+      }
+      r *= 0.25f; g *= 0.25f; b *= 0.25f;
+      // pure blue/red hit 256.0 before the cast — clamp (u8 cast of an
+      // out-of-range float is UB)
+      urow[bx] = static_cast<uint8_t>(std::clamp(
+          128.0f - 0.168736f * r - 0.331264f * g + 0.5f * b + 0.5f,
+          0.0f, 255.0f));
+      vrow[bx] = static_cast<uint8_t>(std::clamp(
+          128.0f + 0.5f * r - 0.418688f * g - 0.081312f * b + 0.5f,
+          0.0f, 255.0f));
+    }
+  }
+}
+
 // ---------------- JPEG decode (libjpeg-turbo, 6.2 ABI) ----------------
 //
 // The serving HTTP front-end's per-request decode (serve.py:do_POST) is the

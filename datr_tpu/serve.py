@@ -19,6 +19,10 @@ ships
 uint8 pixels + a [B, 2] real-size vector, and the jitted step normalizes
 and rebuilds the pad mask from iota comparisons on device — XLA fuses the
 normalize into the backbone's first conv, and the mask costs two compares.
+`wire_format='yuv420'` goes one rung lower: planar I420 (1.5 bytes/px,
+native.rgb_to_yuv420), reconstructed to RGB on device (wire_decode) — free
+fidelity-wise when inputs arrive as JPEGs, which are already
+4:2:0-subsampled.
 
 Pipelining: JAX's async dispatch means the batcher thread can launch batch
 N+1 while batch N is still executing on the device; a separate collector
@@ -58,11 +62,55 @@ from .data.transforms import (
 from .models.postprocess import postprocess
 
 
+def wire_decode(images, real_hw, canvas_hw, wire_format):
+    """Wire payload -> (normalized f32 [B, H, W, 3], pad_mask [B, H, W]).
+
+    Runs inside the jitted serving step; everything here fuses into the
+    backbone's first conv. Formats:
+      'u8'     — [B, H, W, 3] uint8 RGB canvas (3 bytes/px)
+      'yuv420' — [B, H*W*3//2] uint8 planar I420, full-range BT.601
+                 (native.rgb_to_yuv420; 1.5 bytes/px). Chroma is upsampled
+                 2x-nearest (the adjoint of the encoder's 2x2 box average)
+                 and the inverse JFIF matrix applied on device.
+    The pad mask is rebuilt from two iota compares against `real_hw` and
+    the pads re-zeroed — the f32 host pipeline zero-pads AFTER normalizing
+    (native.resize_normalize_pad); reproduce that exactly."""
+    H, W = canvas_hw
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    B = images.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+    pad_mask = (rows >= real_hw[:, 0, None, None]) | (
+        cols >= real_hw[:, 1, None, None])
+    if wire_format == "yuv420":
+        n_y, n_c = H * W, (H // 2) * (W // 2)
+        y = images[:, :n_y].reshape(B, H, W).astype(jnp.float32)
+        u = images[:, n_y:n_y + n_c].reshape(B, H // 2, W // 2)
+        v = images[:, n_y + n_c:].reshape(B, H // 2, W // 2)
+        u = u.astype(jnp.float32) - 128.0
+        v = v.astype(jnp.float32) - 128.0
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+        rgb = jnp.stack(
+            [y + 1.402 * v,
+             y - 0.344136 * u - 0.714136 * v,
+             y + 1.772 * u],
+            axis=-1,
+        )
+        rgb = jnp.clip(rgb, 0.0, 255.0)
+    else:
+        rgb = images.astype(jnp.float32)
+    out = (rgb / 255.0 - mean) / std
+    return jnp.where(pad_mask[..., None], 0.0, out), pad_mask
+
+
 class _Request:
     __slots__ = ("image", "orig_hw", "real_hw", "future", "t_enqueue")
 
     def __init__(self, image, orig_hw, real_hw, future):
-        self.image = image  # [H, W, 3] uint8 canvas (zero-padded)
+        self.image = image  # uint8 wire payload: [H, W, 3] RGB canvas
+        # (zero-padded) or flat [H*W*3//2] I420, per server wire_format
         self.orig_hw = orig_hw
         self.real_hw = real_hw  # unpadded (h, w) on the canvas
         self.future = future
@@ -95,9 +143,20 @@ class InferenceServer:
         mask_top_k: int = 50,
         collector_threads: int = 2,
         dispatcher_threads: int = 2,
+        wire_format: str = "u8",
     ):
         self.model = model
         self.canvas_hw = tuple(canvas_hw)
+        # host->device wire format (see wire_decode): 'yuv420' halves the
+        # uint8 upload again (1.5 bytes/px) — the right choice when the
+        # host<->device link, not the device step, caps the serving rate
+        # AND inputs arrive as (already 4:2:0-subsampled) JPEGs
+        if wire_format not in ("u8", "yuv420"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
+        if wire_format == "yuv420" and (canvas_hw[0] % 2 or canvas_hw[1] % 2):
+            raise ValueError(
+                f"yuv420 wire format needs an even canvas, got {canvas_hw}")
+        self.wire_format = wire_format
         self.batch_size = int(batch_size)
         self.num_select = int(num_select)
         self.score_threshold = float(score_threshold)
@@ -124,7 +183,9 @@ class InferenceServer:
             self._params = jax.device_put(
                 params, param_sharding_tree(params, mesh)
             )
-            self._img_sharding = NamedSharding(mesh, P("data", None, None, None))
+            img_spec = (P("data", None) if wire_format == "yuv420"
+                        else P("data", None, None, None))
+            self._img_sharding = NamedSharding(mesh, img_spec)
             self._size_sharding = NamedSharding(mesh, P("data", None))
         else:
             self._params = jax.device_put(params)
@@ -137,22 +198,13 @@ class InferenceServer:
         self.mask_top_k = min(int(mask_top_k), self.num_select)
 
         H, W = self.canvas_hw
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
-        def _step(p, images_u8, real_hw):
-            # uint8 wire format (module docstring): normalize + pad mask are
-            # rebuilt on device — the normalize fuses into the backbone's
-            # first conv, the mask is two iota compares
-            B = images_u8.shape[0]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
-            pad_mask = (rows >= real_hw[:, 0, None, None]) | (
-                cols >= real_hw[:, 1, None, None])
-            images = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
-            # the f32 host pipeline zero-pads AFTER normalizing
-            # (native.resize_normalize_pad); reproduce that exactly
-            images = jnp.where(pad_mask[..., None], 0.0, images)
+        def _step(p, images_wire, real_hw):
+            # uint8/yuv420 wire format (module docstring): the decode,
+            # normalize and pad mask are rebuilt on device — everything
+            # fuses into the backbone's first conv
+            images, pad_mask = wire_decode(
+                images_wire, real_hw, (H, W), self.wire_format)
             out = model.apply(p, images, pad_mask, train=False)
             # target_sizes (1,1): normalized boxes relative to the real
             # (unpadded) extent — scaled to original pixels host-side per
@@ -236,7 +288,7 @@ class InferenceServer:
         """Compile + first-dispatch outside the serving path."""
         H, W = self.canvas_hw
         z, s = self._put(
-            np.zeros((self.batch_size, H, W, 3), np.uint8),
+            np.zeros((self.batch_size, *self._wire_shape()), np.uint8),
             np.tile(np.int32([H, W]), (self.batch_size, 1)),
         )
         r = self._step(self._params, z, s)
@@ -348,11 +400,21 @@ class InferenceServer:
             s = min(H / oh, W / ow)
             oh, ow = int(oh * s), int(ow * s)
         canvas = native.resize_pad_u8(img_u8, (oh, ow), (H, W))
+        if self.wire_format == "yuv420":
+            # converted here in the submitter thread (parallel across
+            # clients; the native call releases the GIL), not the batcher
+            return native.rgb_to_yuv420(canvas, (oh, ow)), (oh, ow)
         return canvas, (oh, ow)
 
-    def _batch_loop(self):
+    def _wire_shape(self):
         H, W = self.canvas_hw
+        if self.wire_format == "yuv420":
+            return (H * W * 3 // 2,)
+        return (H, W, 3)
+
+    def _batch_loop(self):
         B = self.batch_size
+        wire_shape = self._wire_shape()
         while not self._stop.is_set():
             try:
                 first = self._queue.get(timeout=0.1)
@@ -374,7 +436,7 @@ class InferenceServer:
                     self._stop.set()
                     break
                 items.append(nxt)
-            images = np.zeros((B, H, W, 3), np.uint8)
+            images = np.zeros((B, *wire_shape), np.uint8)
             sizes = np.zeros((B, 2), np.int32)  # empty slots: fully padded
             for i, it in enumerate(items):
                 images[i] = it.image
@@ -663,6 +725,11 @@ def main(argv: Optional[List[str]] = None):
                     help="concurrent device->host result-fetch threads")
     ap.add_argument("--dispatchers", type=int, default=2,
                     help="concurrent host->device upload+dispatch threads")
+    ap.add_argument("--wire", default="u8", choices=["u8", "yuv420"],
+                    help="host->device wire format: yuv420 halves the "
+                         "upload bytes again (1.5/px) — use when the "
+                         "host<->device link caps the rate and inputs are "
+                         "JPEG-sourced (already 4:2:0)")
     args = ap.parse_args(argv)
 
     from .config import apply_overrides, load_config
@@ -679,7 +746,7 @@ def main(argv: Optional[List[str]] = None):
         num_select=args.num_select, score_threshold=args.threshold,
         batch_timeout_s=args.batch_timeout_ms / 1e3,
         max_in_flight=args.in_flight, collector_threads=args.collectors,
-        dispatcher_threads=args.dispatchers,
+        dispatcher_threads=args.dispatchers, wire_format=args.wire,
     )
     print(json.dumps({"serve": "warmup (compile + first dispatch)"}))
     srv.warmup()

@@ -147,3 +147,62 @@ def test_decode_jpeg_rgb_truncated_stream():
     # libjpeg treats a hard-truncated scan as a warning + gray fill, so a
     # header-only prefix is the reliable "must fail" case
     assert native.decode_jpeg_rgb(raw[:20]) is None
+
+
+def test_rgb_to_yuv420_native_matches_fallback():
+    """Native I420 conversion == the numpy oracle, bit-exact, including
+    the real-extent clamp at odd real sizes (pad zeros must not bleed
+    into boundary chroma)."""
+    if native.get_lib() is None:
+        pytest.skip("g++ unavailable")
+    rng = np.random.default_rng(7)
+    canvas = np.zeros((24, 32, 3), np.uint8)
+    canvas[:17, :23] = rng.integers(0, 256, (17, 23, 3), np.uint8)
+    for real_hw in ((17, 23), (24, 32), (16, 22)):
+        got = native.rgb_to_yuv420(canvas, real_hw)
+        want = native._numpy_rgb_to_yuv420(canvas, real_hw)
+        assert got.shape == (24 * 32 * 3 // 2,)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_rgb_to_yuv420_saturated_chroma_no_overflow():
+    """Pure blue/red hit Cb/Cr = 256.0 before rounding — must clamp to
+    255, not wrap (u8 cast of an out-of-range float is UB in the native
+    kernel)."""
+    canvas = np.zeros((4, 4, 3), np.uint8)
+    canvas[:2, :, 2] = 255  # pure blue rows -> Cb saturates
+    canvas[2:, :, 0] = 255  # pure red rows  -> Cr saturates
+    for fn in ([native.rgb_to_yuv420] if native.get_lib() else []) + [
+        lambda c, r: native._numpy_rgb_to_yuv420(c, r)
+    ]:
+        out = fn(canvas, (4, 4))
+        u = out[16:20].reshape(2, 2)
+        v = out[20:24].reshape(2, 2)
+        assert u[0].max() == 255 and v[1].max() == 255
+
+
+def test_rgb_to_yuv420_roundtrip_error_bound():
+    """I420 -> nearest-upsample -> inverse matrix reconstructs a smooth
+    image within a few LSB: Y rounds +-0.5 and chroma is a 2x2 block
+    average, so the error is bounded by the intra-block chroma variation
+    (small on smooth content — and zero information lost relative to a
+    4:2:0 JPEG source)."""
+    H, W = 32, 48
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.stack([
+        60 + 3.0 * xx, 90 + 2.0 * yy, 120 + 1.5 * (xx + yy) / 2
+    ], -1).clip(0, 255).astype(np.uint8)
+    buf = native._numpy_rgb_to_yuv420(img, (H, W))
+    y = buf[: H * W].reshape(H, W).astype(np.float32)
+    u = buf[H * W: H * W + H * W // 4].reshape(H // 2, W // 2)
+    v = buf[H * W + H * W // 4:].reshape(H // 2, W // 2)
+    u = np.repeat(np.repeat(u.astype(np.float32) - 128, 2, 0), 2, 1)
+    v = np.repeat(np.repeat(v.astype(np.float32) - 128, 2, 0), 2, 1)
+    rec = np.stack([
+        y + 1.402 * v,
+        y - 0.344136 * u - 0.714136 * v,
+        y + 1.772 * u,
+    ], -1).clip(0, 255)
+    err = np.abs(rec - img.astype(np.float32))
+    assert err.max() <= 6.0, err.max()
+    assert err.mean() <= 2.0, err.mean()

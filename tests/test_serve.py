@@ -376,3 +376,76 @@ def test_close_drains_raced_submit(tiny_model_params):
     srv.close()
     with pytest.raises(RuntimeError, match="closed"):
         fut.result(timeout=5)
+
+
+class TestYUV420Wire:
+    """yuv420 wire format: half the u8 upload bytes again (1.5/px), for
+    link-bound serving of JPEG-sourced (already 4:2:0) inputs."""
+
+    def test_wire_decode_matches_u8_path(self):
+        """Device-side I420 reconstruction lands within a few LSB of the
+        u8 RGB path's normalized canvas on smooth content (Y rounds +-0.5,
+        chroma is the 2x2 block average the client's JPEG already took),
+        and the pad mask + pad zeroing are identical."""
+        from datr_tpu import native
+        from datr_tpu.data.transforms import IMAGENET_STD
+        from datr_tpu.serve import wire_decode
+
+        H, W = 32, 48
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        img = np.stack(
+            [50 + 3.0 * xx, 80 + 2.0 * yy, 110 + 1.2 * (xx + yy)], -1
+        ).clip(0, 255).astype(np.uint8)
+        canvas = np.zeros((H, W, 3), np.uint8)
+        rh, rw = 27, 41  # odd: exercises the chroma real-extent clamp
+        canvas[:rh, :rw] = img[:rh, :rw]
+        sizes = np.int32([[rh, rw]])
+
+        u8_imgs, u8_mask = wire_decode(
+            jnp.asarray(canvas[None]), jnp.asarray(sizes), (H, W), "u8")
+        buf = native.rgb_to_yuv420(canvas, (rh, rw))
+        yuv_imgs, yuv_mask = wire_decode(
+            jnp.asarray(buf[None]), jnp.asarray(sizes), (H, W), "yuv420")
+
+        np.testing.assert_array_equal(np.asarray(u8_mask),
+                                      np.asarray(yuv_mask))
+        # pads exactly zero in both
+        assert np.all(np.asarray(yuv_imgs)[0, rh:] == 0)
+        assert np.all(np.asarray(yuv_imgs)[0, :, rw:] == 0)
+        # real pixels: bound in normalized units = (6/255)/min(std)
+        err = np.abs(np.asarray(u8_imgs) - np.asarray(yuv_imgs))
+        bound = (6.0 / 255.0) / float(np.min(IMAGENET_STD))
+        assert err.max() <= bound, (err.max(), bound)
+
+    def test_batched_equals_direct_yuv420(self, tiny_model_params):
+        """The full pipeline contract holds under the yuv420 wire format:
+        a batched detect() == a hand-built single forward on the same
+        wire payload."""
+        model, params = tiny_model_params
+        rng = np.random.default_rng(3)
+        img = _rand_img(rng, 80, 110)
+        with _server(model, params, wire_format="yuv420") as srv:
+            res = srv.detect(img)
+            wire, real_hw = srv._preprocess(img)
+            assert wire.shape == (CANVAS[0] * CANVAS[1] * 3 // 2,)
+            images = np.zeros((2, wire.size), np.uint8)
+            sizes = np.zeros((2, 2), np.int32)
+            images[0], sizes[0] = wire, real_hw
+            (packed,) = srv._step(srv._params, jnp.asarray(images),
+                                  jnp.asarray(sizes))
+            packed = np.asarray(packed, np.float32)
+        h0, w0 = img.shape[:2]
+        scale = np.array([w0, h0, w0, h0], np.float32)
+        want_b = np.clip(packed[0, :, 2:6] * scale, 0, scale)
+        np.testing.assert_allclose(res["scores"], packed[0, :, 0],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(res["labels"],
+                                      packed[0, :, 1].astype(np.int32))
+        np.testing.assert_allclose(res["boxes"], want_b, rtol=1e-5,
+                                   atol=1e-4)
+
+    def test_yuv420_rejects_odd_canvas(self, tiny_model_params):
+        model, params = tiny_model_params
+        with pytest.raises(ValueError, match="even canvas"):
+            _server(model, params, canvas_hw=(95, 128),
+                    wire_format="yuv420")

@@ -60,6 +60,10 @@ def main():
                          "(includes JPEG decode + JSON encode in the "
                          "measured path)")
     ap.add_argument("--port", type=int, default=18731)
+    ap.add_argument("--wire", default="u8", choices=["u8", "yuv420"],
+                    help="host->device wire format (yuv420: 1.5 bytes/px, "
+                         "halves the upload again — the lever when the "
+                         "host<->device link caps the rate)")
     args = ap.parse_args()
 
     if not args.chip:
@@ -110,6 +114,7 @@ def main():
         max_in_flight=args.in_flight,
         collector_threads=args.collectors,
         dispatcher_threads=args.dispatchers,
+        wire_format=args.wire,
     )
     httpd = None
     try:
