@@ -20,8 +20,12 @@ _lib = None
 
 
 def _build() -> bool:
-    base = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
-            _SRC, "-o", _SO]
+    # -ffp-contract=off: tests assert the float kernels bit-match the numpy
+    # oracle; on targets where contraction is the default (e.g. aarch64
+    # hardware FMA) a contracted luma/chroma combination can round 1 ulp
+    # differently and flip a trunc.
+    base = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+            "-fopenmp", "-std=c++17", _SRC, "-o", _SO]
     # Prefer a libjpeg-linked build (native GIL-free JPEG decode for the
     # serving front-end); fall back to a jpeg-less build where the dev
     # headers are absent (decode_jpeg_rgb then returns None -> PIL path).
@@ -193,7 +197,8 @@ def rgb_to_yuv420(canvas_u8: np.ndarray, real_hw=None) -> np.ndarray:
     if H % 2 or W % 2:
         raise ValueError(f"yuv420 needs an even canvas, got {(H, W)}")
     rh, rw = (int(real_hw[0]), int(real_hw[1])) if real_hw else (H, W)
-    rh, rw = (rh or H), (rw or W)
+    if not (0 < rh <= H and 0 < rw <= W):
+        raise ValueError(f"real extent {(rh, rw)} outside canvas {(H, W)}")
     lib = get_lib()
     if lib is not None:
         src = np.ascontiguousarray(canvas_u8, np.uint8)

@@ -42,6 +42,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import logging
 import queue
 import threading
 import time
@@ -157,6 +158,7 @@ class InferenceServer:
             raise ValueError(
                 f"yuv420 wire format needs an even canvas, got {canvas_hw}")
         self.wire_format = wire_format
+        self._warned_numpy_yuv = False
         self.batch_size = int(batch_size)
         self.num_select = int(num_select)
         self.score_threshold = float(score_threshold)
@@ -401,8 +403,16 @@ class InferenceServer:
             oh, ow = int(oh * s), int(ow * s)
         canvas = native.resize_pad_u8(img_u8, (oh, ow), (H, W))
         if self.wire_format == "yuv420":
-            # converted here in the submitter thread (parallel across
-            # clients; the native call releases the GIL), not the batcher
+            # converted here in the submitter thread, not the batcher: the
+            # NATIVE kernel releases the GIL so submitters convert in
+            # parallel; the numpy fallback (no g++) holds it — warn once
+            # since the parallelism claim silently degrades there
+            if native.get_lib() is None and not self._warned_numpy_yuv:
+                self._warned_numpy_yuv = True
+                logging.getLogger(__name__).warning(
+                    "wire_format='yuv420' without the native library: "
+                    "falling back to GIL-bound numpy conversion"
+                )
             return native.rgb_to_yuv420(canvas, (oh, ow)), (oh, ow)
         return canvas, (oh, ow)
 

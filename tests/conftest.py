@@ -16,15 +16,28 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA-CPU compiles of scan-heavy programs are
-# slow; cache them across test runs.
+# slow; cache them across test runs. The env vars alone are NOT enough on
+# this image's jax 0.9 (it silently ignores them and the cache never
+# initializes — discovered round 5 after four rounds of cold compiles);
+# they are still exported for subprocess tests, whose datr_tpu import
+# applies the same jax.config workaround (datr_tpu/__init__.py).
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(_cache_dir))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end test")
+    config.addinivalue_line(
+        "markers",
+        "parity: builds the live torch reference (heavy fixtures) — "
+        'run the pure-JAX units alone with -m "not parity and not slow"',
+    )
 
 
 import pytest  # noqa: E402

@@ -34,6 +34,8 @@ import reference_stubs  # noqa: E402
 
 reference_stubs.install()
 
+pytestmark = pytest.mark.parity  # heavy live-torch fixtures
+
 import datasets.DAcoco as DAcoco_ref  # noqa: E402
 import datasets.da_transforms as T_ref  # noqa: E402
 import torchvision.transforms as tvt_stub  # noqa: E402

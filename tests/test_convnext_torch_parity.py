@@ -17,6 +17,8 @@ import reference_stubs  # noqa: E402
 
 reference_stubs.install()
 
+pytestmark = pytest.mark.parity  # heavy live-torch fixtures
+
 from convert_checkpoint import convert_convnext  # noqa: E402
 
 from datr_tpu.models.convnext import ConvNeXt  # noqa: E402

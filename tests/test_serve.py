@@ -245,12 +245,15 @@ def test_http_front_end(tiny_model_params):
             httpd.server_close()
 
 
-def test_collector_survives_cancelled_future(tiny_model_params):
+@pytest.mark.parametrize("wire", ["u8", "yuv420"])
+def test_collector_survives_cancelled_future(tiny_model_params, wire):
     """A client that cancels its Future (deadline fired) must not kill the
-    collector thread or strand the other requests in the same batch."""
+    collector thread or strand the other requests in the same batch —
+    under both wire formats (their batcher fill paths differ)."""
     model, params = tiny_model_params
     rng = np.random.default_rng(7)
-    with _server(model, params, batch_size=2, batch_timeout_s=0.3) as srv:
+    with _server(model, params, batch_size=2, batch_timeout_s=0.3,
+                 wire_format=wire) as srv:
         srv.warmup()
         f1 = srv.submit(_rand_img(rng, 40, 60))
         assert f1.cancel()  # cancelled while still queued
@@ -263,10 +266,12 @@ def test_collector_survives_cancelled_future(tiny_model_params):
         assert all(c.is_alive() for c in srv._collectors)
 
 
-def test_stalled_device_sheds_fast(tiny_model_params):
+@pytest.mark.parametrize("wire", ["u8", "yuv420"])
+def test_stalled_device_sheds_fast(tiny_model_params, wire):
     """With the device step artificially stalled, the HTTP front-end must
     answer quickly with 503 (deadline or overloaded) instead of parking an
-    unbounded thread pile, and the server must recover afterwards."""
+    unbounded thread pile, and the server must recover afterwards — under
+    both wire formats (stall shedding must not depend on payload rank)."""
     import json
     import urllib.error
 
@@ -278,7 +283,7 @@ def test_stalled_device_sheds_fast(tiny_model_params):
     body = buf.getvalue()
 
     with _server(model, params, batch_size=1, batch_timeout_s=0.01,
-                 max_in_flight=1) as srv:
+                 max_in_flight=1, wire_format=wire) as srv:
         srv.warmup()
         real_step = srv._step
         stall = threading.Event()
@@ -443,6 +448,93 @@ class TestYUV420Wire:
                                       packed[0, :, 1].astype(np.int32))
         np.testing.assert_allclose(res["boxes"], want_b, rtol=1e-5,
                                    atol=1e-4)
+
+    def test_mesh_data_parallel_serving_yuv420(self, tiny_model_params):
+        """Pod serving x yuv420 combined: the batch sharding spec depends
+        on the payload rank (flat [B, H*W*3//2] here vs rank-4 u8,
+        serve.py _img_sharding), so the mesh path must be validated under
+        this wire format too — detections must match single-device yuv420
+        serving exactly."""
+        model, params = tiny_model_params
+        from datr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(13)
+        imgs = [_rand_img(rng, 40 + 4 * i, 60 + 3 * i) for i in range(8)]
+        with _server(model, params, batch_size=8, mesh=mesh,
+                     batch_timeout_s=0.5, wire_format="yuv420") as srv:
+            srv.warmup()
+            futs = [srv.submit(im) for im in imgs]
+            got = [f.result(timeout=120) for f in futs]
+        with _server(model, params, batch_size=1,
+                     wire_format="yuv420") as one:
+            singles = [one.detect(im) for im in imgs]
+        for g, s in zip(got, singles):
+            np.testing.assert_allclose(g["scores"], s["scores"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(g["labels"], s["labels"])
+            np.testing.assert_allclose(g["boxes"], s["boxes"],
+                                       rtol=1e-4, atol=1e-3)
+
+    @pytest.mark.slow
+    def test_yuv420_detection_ap_delta(self, tiny_model_params):
+        """AP-level bound on the yuv420 wire format (VERDICT r4 #2): the
+        pixel error (chroma 2x2 subsample + u8 rounding) is bounded
+        elsewhere (test_native_image_ops); here the DETECTION-level effect
+        is bounded the way a deployment would see it — score the yuv420
+        path's detections against GT derived from the u8 path's confident
+        detections on a synthetic val set and require a near-perfect
+        summary. A random-init model is the adversarial case: its logits
+        amplify input perturbations MORE than a trained model's smoothed
+        features, so the bound is conservative."""
+        from datr_tpu.eval.coco_eval import CocoEvaluator
+
+        model, params = tiny_model_params
+        rng = np.random.default_rng(21)
+        imgs = [_rand_img(rng, 72 + 3 * i, 96 + 4 * i) for i in range(16)]
+        dets = {}
+        for wire in ("u8", "yuv420"):
+            with _server(model, params, wire_format=wire) as srv:
+                dets[wire] = [srv.detect(im) for im in imgs]
+
+        cats = list(range(1, K))
+        evs = {w: CocoEvaluator(cats) for w in dets}
+        n_gt = 0
+        for i, im in enumerate(imgs):
+            h, w = im.shape[:2]
+            ref = dets["u8"][i]
+            order = np.argsort(-np.asarray(ref["scores"]))
+            gb, gl = [], []
+            for j in order:
+                lab = int(ref["labels"][j])
+                box = np.clip(ref["boxes"][j], 0, [w, h, w, h])
+                if lab not in cats or len(gb) >= 3:
+                    continue
+                if box[2] - box[0] < 4 or box[3] - box[1] < 4:
+                    continue
+                gb.append(box)
+                gl.append(lab)
+            gb = np.asarray(gb, np.float64).reshape(-1, 4)
+            gl = np.asarray(gl, np.int64)
+            n_gt += len(gl)
+            for wire, ev in evs.items():
+                d = dets[wire][i]
+                ev.add_image(
+                    i, gb, gl, np.asarray(d["boxes"], np.float64),
+                    np.asarray(d["scores"], np.float64),
+                    np.asarray(d["labels"], np.int64),
+                    gt_iscrowd=np.zeros(len(gl), np.int64),
+                    gt_areas=(gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]),
+                )
+        assert n_gt >= 16, f"too few GT dets ({n_gt}) for a meaningful AP"
+        s_u8 = np.asarray(evs["u8"].summarize(), np.float64)
+        s_yuv = np.asarray(evs["yuv420"].summarize(), np.float64)
+        assert s_u8[1] > 0.9, s_u8  # sanity: u8 scores ~1.0 on its own GT
+        # the wire format may move any summary number by < 2 AP points
+        assert np.abs(s_yuv - s_u8).max() < 0.02, (
+            f"yuv420 moved the summary: u8={s_u8.round(3).tolist()} "
+            f"yuv={s_yuv.round(3).tolist()}"
+        )
 
     def test_yuv420_rejects_odd_canvas(self, tiny_model_params):
         model, params = tiny_model_params

@@ -22,6 +22,8 @@ import reference_stubs  # noqa: E402
 
 reference_stubs.install()
 
+pytestmark = pytest.mark.parity  # heavy live-torch fixtures
+
 from convert_checkpoint import convert_swin  # noqa: E402
 
 from datr_tpu.models.swin import SWIN_CONFIGS, SwinTransformer  # noqa: E402

@@ -23,6 +23,8 @@ import reference_stubs  # noqa: E402
 
 reference_stubs.install()
 
+pytestmark = pytest.mark.parity  # heavy live-torch fixtures
+
 from convert_checkpoint import convert_checkpoint  # noqa: E402
 
 from datr_tpu.config import load_config  # noqa: E402

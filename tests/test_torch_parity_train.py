@@ -27,6 +27,8 @@ import reference_stubs  # noqa: E402
 
 reference_stubs.install()
 
+pytestmark = pytest.mark.parity  # heavy live-torch fixtures
+
 from datr_tpu.train.criterion import (  # noqa: E402
     CriterionCfg,
     build_weight_dict,

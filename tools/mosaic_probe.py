@@ -16,8 +16,8 @@ toolchain, three independent blockers were measured:
   3. strided fori_loop unroll — only unroll=1 or full supported
 
 Run on every toolchain change (python tools/mosaic_probe.py); it prints one
-JSON line per blocker plus a verdict, and appends to flops/mosaic_probe.log
-so the history of probes is auditable.
+JSON line per blocker plus a verdict, and appends to tools/mosaic_probe.log
+(tracked in git) so the history of probes is auditable.
 """
 
 from __future__ import annotations
@@ -143,8 +143,11 @@ def main():
         "scalar_loop_regressed": not scalar["ok"],
     }
     print(json.dumps(verdict), flush=True)
-    os.makedirs("flops", exist_ok=True)
-    with open("flops/mosaic_probe.log", "a") as f:
+    # appended next to the tool (NOT the gitignored flops/ scratch dir) so
+    # the probe history is checked-in evidence, not a cited-but-absent file
+    log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "mosaic_probe.log")
+    with open(log, "a") as f:
         f.write(json.dumps({**header, "results": results, **verdict}) + "\n")
 
 

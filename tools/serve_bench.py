@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--chip", action="store_true",
                     help="flagship model at the real eval canvas")
     ap.add_argument("--warm_images", type=int, default=8)
+    ap.add_argument("--warm_timeout", type=float, default=2400.0)
     ap.add_argument("--in_flight", type=int, default=4)
     ap.add_argument("--collectors", type=int, default=4)
     ap.add_argument("--dispatchers", type=int, default=4,
@@ -60,6 +61,11 @@ def main():
                          "(includes JPEG decode + JSON encode in the "
                          "measured path)")
     ap.add_argument("--port", type=int, default=18731)
+    ap.add_argument("--content", default="noise",
+                    choices=["noise", "smooth"],
+                    help="test image entropy: 'noise' is the worst-case "
+                         "(incompressible ~6 MB JPEGs), 'smooth' is the "
+                         "realistic production regime (~0.5 MB JPEGs)")
     ap.add_argument("--wire", default="u8", choices=["u8", "yuv420"],
                     help="host->device wire format (yuv420: 1.5 bytes/px, "
                          "halves the upload again — the lever when the "
@@ -100,10 +106,32 @@ def main():
     params = model.init(rng, x, m, train=False)
 
     nprng = np.random.default_rng(0)
-    imgs = [
-        (nprng.random((*src_hw, 3)) * 255).astype(np.uint8)
-        for _ in range(max(8, args.batch * 2))
-    ]
+    if args.content == "noise":
+        # incompressible noise: the WORST case for --http (a 1024x2048
+        # noise JPEG is ~6 MB and maximally slow to decode)
+        imgs = [
+            (nprng.random((*src_hw, 3)) * 255).astype(np.uint8)
+            for _ in range(max(8, args.batch * 2))
+        ]
+    else:
+        # realistic entropy: low-frequency fields + hard object edges.
+        # Upsampled coarse noise gives photo-like spectra; the rectangles
+        # add the block/edge structure streetscapes have. 1024x2048 JPEGs
+        # land ~0.4-0.8 MB at q90 — the production regime for --http.
+        imgs = []
+        h, w = src_hw
+        for _ in range(max(8, args.batch * 2)):
+            coarse = nprng.random(
+                (-(-h // 32), -(-w // 32), 3)).astype(np.float32)
+            smooth = np.kron(coarse, np.ones((32, 32, 1), np.float32))
+            smooth = smooth[:h, :w]
+            for _ in range(12):  # rectangles: cars/signs/windows stand-ins
+                y0 = int(nprng.integers(0, h - 32))
+                x0 = int(nprng.integers(0, w - 64))
+                bh = int(nprng.integers(16, h // 4))
+                bw = int(nprng.integers(32, w // 4))
+                smooth[y0:y0 + bh, x0:x0 + bw] = nprng.random(3)
+            imgs.append((smooth * 255).astype(np.uint8))
 
     srv = InferenceServer(
         model, params, canvas_hw=canvas, batch_size=args.batch,
@@ -123,7 +151,9 @@ def main():
         # one-time tunnel warm-up on the relay)
         for f in [srv.submit(imgs[i % len(imgs)])
                   for i in range(args.warm_images)]:
-            f.result(timeout=600)
+            # generous: the FIRST dispatch pays the remote XLA compile of
+            # the serving graph (observed >600 s for new wire formats)
+            f.result(timeout=args.warm_timeout)
         srv.reset_stats()  # tails must reflect steady state, not warm-up
 
         if args.http:
@@ -230,6 +260,8 @@ def main():
         "collectors": args.collectors,
         "dispatchers": args.dispatchers,
         "canvas": list(canvas),
+        "wire": args.wire,
+        "content": args.content,
     }))
 
 
