@@ -49,17 +49,19 @@ OUR_CFG = os.path.join(
     REPO, "configs", "DA", "Cityscapes2FoggyCityscapes", "DINO_4scale_C2F.py"
 )
 
-# tiny dims (test_main_cli shapes -> warm compile cache) at a reduced eval
-# resolution; the resize/forward/PostProcess/eval CODE paths are identical
-# to flagship, where per-stage width parity is already proven
+# shallow stack at a reduced eval resolution; the resize/forward/
+# PostProcess/eval CODE paths are identical to flagship, where per-stage
+# parity is already proven. hidden_dim MUST stay 256: the reference's
+# gen_sineembed_for_position hardcodes 128 frequencies (models/dino/
+# utils.py:61-78), so its decoder only builds at d_model=256.
 TINY = dict(
-    num_classes=4, dn_labelbook_size=4, hidden_dim=32, nheads=2,
+    num_classes=4, dn_labelbook_size=4, hidden_dim=256, nheads=2,
     enc_layers=1, dec_layers=2, dim_feedforward=64, num_queries=16,
     dn_number=4, dn_single_pad=4, num_select=10,
     data_aug_scales=[160], data_aug_max_size=266,
 )
 OUR_OPTIONS = [f"{k}={v}" for k, v in TINY.items() if k != "data_aug_scales"]
-OUR_OPTIONS += ["data_aug_scales=[160]", "canvas_h=160", "canvas_w=288",
+OUR_OPTIONS += ["data_aug_scales=[160]", "canvas_h=160", "canvas_w=256",
                 "max_boxes=8", "batch_size=2", "use_remat=False",
                 "data_aug_scales2_resize=[64,72]",
                 "data_aug_scales2_crop=[48,72]"]
@@ -68,16 +70,34 @@ CATS = (1, 2, 3)
 
 
 def _make_val_images(img_dir, n=N_IMAGES):
-    """Landscape images of varying sizes (aspect <= 1.6 so the 160/266
-    resize keeps every output inside the 160x288 canvas)."""
+    """Images EXACTLY 160x256 = the eval scale and the static canvas, so
+    both stacks' val resizes are the identity AND the canvas adds no
+    padding. Both conditions are load-bearing, by measurement:
+
+    - a random-init model's top-num_select score gaps are ~5e-5, so AP
+      equality is ill-conditioned to ANY pixel difference; identical
+      sizes make the two resize stages bit-equal (diff 7e-7 measured).
+    - with pad columns, our always-padded canvas forward and the
+      reference's unpadded batch-1 forward legitimately differ near the
+      right boundary (pad-region backbone features are conv-bias values,
+      not zeros, and MSDA's bilinear sampling at boundary-adjacent
+      locations reads them; the reference has the same leak whenever its
+      batched NestedTensor pads — just not at batch 1), which again
+      exceeds the tie gaps. AP 0.26-0.41 vs 0.98 measured through pads.
+
+    For TRAINED checkpoints (tools/repro_c2f.py, the real 52.8 chain)
+    score margins dwarf both effects and none of this conditioning is
+    needed. Resize geometry and pad-mask handling have their own
+    live-reference tests (test_aug_torch_parity, test_torch_parity); this
+    test composes conversion + forward + PostProcess + evaluator +
+    original-size coordinate scaling into one AP number."""
     from PIL import Image
 
     rng = np.random.default_rng(11)
     sizes = []
     os.makedirs(img_dir, exist_ok=True)
     for i in range(n):
-        h = int(rng.integers(96, 160))
-        w = int(h * rng.uniform(1.2, 1.6))
+        h, w = 160, 256
         arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(img_dir, f"im_{i:04d}.png"))
         sizes.append((h, w))
@@ -110,8 +130,12 @@ def _reference_detections(val_dir, sizes):
             img = Image.open(
                 os.path.join(val_dir, "images", f"im_{i:04d}.png")
             ).convert("RGB")
-            x, _ = tf(img, {"boxes": torch.zeros(0, 4),
-                            "labels": torch.zeros(0, dtype=torch.long)})
+            # datasets/coco.py builds with `da_transforms as T`: the DA
+            # Compose is 3-arg (image, image_strong_aug, target) and the
+            # val chain passes strong=None (DAcoco.py:394-398)
+            x, _, _ = tf(img, None,
+                         {"boxes": torch.zeros(0, 4),
+                          "labels": torch.zeros(0, dtype=torch.long)})
             nt = NestedTensor(x[None],
                               torch.zeros(1, *x.shape[1:], dtype=torch.bool))
             out = model(nt)
