@@ -1,0 +1,262 @@
+"""Flagship-width distillation accuracy-retention measurement (VERDICT r4 #4).
+
+The opt-in fast config (configs/DINO/DINO_4scale_fast.py, enc/dec_n_points
+2 instead of 4) is the one shipped lever past the measured single-chip MSDA
+wall (1.91x throughput, ROADMAP "ceiling analysis"), and its declared
+migration path from a parity checkpoint is distillation
+(train/steps.py:train_step_self_training(teacher_model=...), built on the
+reference self-training loop /root/reference/engine.py:146-259 +
+main.py burn_epochs schedule). tests/test_e2e_distill.py proves the recipe
+end to end at toy scale (hidden 32, 96x128); this tool measures the same
+recipe at FLAGSHIP WIDTH — hidden 256 / 8 heads / ffn 2048 / 6 enc + 6 dec
+/ ResNet-50, bf16 + remat, i.e. the exact compute shape of the C2F parity
+config — on a C2F-shaped synthetic domain pair (8 foreground classes like
+Cityscapes, fog-corrupted target domain), so "1.91x at >=X% teacher AP50"
+is a measured sentence rather than a toy extrapolation.
+
+Three runs, equal per-run step budget (mirrors the e2e test's design):
+  teacher   parity arch (P=4) trained WITH labels on the fog domain — the
+            stand-in for "a good parity checkpoint the user already has"
+  distill   fast arch (P=2): burn-in on clear-domain labels for half the
+            budget, then teacher pseudo-labels on fog images for the rest
+            (reference burn_epochs -> self-training schedule)
+  scratch   fast arch (P=2): clear-domain labels only, full budget — what a
+            user without distillation (or the teacher checkpoint) would get
+
+All three evaluated on a held-out fog val set with the standard COCO
+evaluator (eval/coco_eval.py). Prints one JSON line per stage and a final
+{"retention": ap_distill/ap_teacher, ...} line; intended to run on the real
+chip (python tools/distill_flagship.py 2>&1 | tee tools/distill_flagship_r5.log).
+
+Reduced relative to the full C2F config — none of which changes the
+per-token compute shape the fast config accelerates: 300 queries (vs 900),
+dn_number 20 (vs 100), 320x640 canvas (vs 800x1344). Width, depth, heads,
+backbone, dtype, remat are flagship-exact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _log(stage, **kw):
+    rounded = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in kw.items()}
+    print(json.dumps({"stage": stage, **rounded}), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20,
+                    help="per-run epoch budget (teacher; students get the "
+                         "same total, distill split half burn-in/half "
+                         "self-training)")
+    ap.add_argument("--teacher_epochs", type=int, default=0,
+                    help="teacher epoch budget (0 = same as --epochs). The "
+                         "teacher stands in for a finished parity "
+                         "checkpoint, so giving it a bigger budget than "
+                         "the students is fair — its training cost is NOT "
+                         "part of the migration being measured")
+    ap.add_argument("--n_train", type=int, default=96)
+    ap.add_argument("--n_val", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=4,
+                    help="total images per step (half source, half target)")
+    ap.add_argument("--canvas", type=int, nargs=2, default=(320, 640))
+    ap.add_argument("--img_hw", type=int, nargs=2, default=(288, 576))
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--fog", type=float, default=0.55)
+    ap.add_argument("--thr", type=float, default=0.45,
+                    help="pseudo-label score threshold (reference default "
+                         "0.3 at C2F scale; the e2e test measured 0.45 "
+                         "right for mediocre synthetic teachers)")
+    ap.add_argument("--probe", action="store_true",
+                    help="tiny run (2 epochs, 16 imgs) to time compiles + "
+                         "steps before committing to the full budget")
+    ap.add_argument("--skip_scratch", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.probe:
+        args.epochs, args.n_train, args.n_val = 2, 16, 8
+
+    import datr_tpu  # noqa: F401  (enables the persistent compile cache)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from datr_tpu.data.coco import DAPairedDataset
+    from datr_tpu.data.loader import make_da_loader, make_eval_loader
+    from datr_tpu.data.synthetic import SyntheticDetectionDataset
+    from datr_tpu.data.transforms import DATrainTransform, EvalTransform
+    from datr_tpu.engine import evaluate
+    from datr_tpu.models.dino import DINO
+    from datr_tpu.train.criterion import CriterionCfg, build_weight_dict
+    from datr_tpu.train.optim import make_optimizer
+    from datr_tpu.train.state import create_train_state
+    from datr_tpu.train.steps import (train_step_burnin,
+                                      train_step_self_training)
+
+    K = 9  # 8 foreground classes + background slot, C2F-shaped
+    HD = 256
+    CANVAS = tuple(args.canvas)
+    MAX_BOXES = 12
+    DN_PAD = 10
+
+    def flagship(points):
+        """C2F parity compute shape (DINO_4scale_C2F.py:25-57) except query/
+        DN/canvas count reductions documented in the module docstring."""
+        return DINO(
+            num_classes=K, num_queries=300, hidden_dim=HD, nheads=8,
+            enc_layers=6, dec_layers=6, dim_feedforward=2048,
+            dn_number=20, dn_single_pad=DN_PAD, dn_labelbook_size=K,
+            enc_n_points=points, dec_n_points=points,
+            use_remat=True, dtype=jnp.bfloat16,
+        )
+
+    _log("setup", devices=[str(d) for d in jax.devices()],
+         epochs=args.epochs, n_train=args.n_train, canvas=list(CANVAS))
+
+    hw = tuple(args.img_hw)
+    clear = SyntheticDetectionDataset(args.n_train, hw=hw, num_classes=K - 1,
+                                      max_objects=6, seed=args.seed)
+    fog = SyntheticDetectionDataset(args.n_train, hw=hw, num_classes=K - 1,
+                                    max_objects=6, seed=args.seed + 1,
+                                    fog=args.fog)
+    val = SyntheticDetectionDataset(args.n_val, hw=hw, num_classes=K - 1,
+                                    max_objects=6, seed=args.seed + 11,
+                                    fog=args.fog)
+    # aug scales bracket the native height so the resize/crop branches are
+    # both live, as in the reference C2F transform (ratios preserved)
+    short = hw[0]
+    tf = DATrainTransform(
+        scales=[int(short * 0.9), short, int(short * 1.1)],
+        max_size=CANVAS[1],
+        scales2_resize=[int(short * 0.8), short],
+        scales2_crop=[int(short * 0.6), short],
+    )
+    ev_loader = make_eval_loader(val, 2, CANVAS,
+                                 EvalTransform(short, CANVAS[1]),
+                                 max_boxes=MAX_BOXES)
+
+    ccfg = CriterionCfg(num_classes=K, dn_single_pad=DN_PAD, dn_groups=1)
+    wd = build_weight_dict(dec_layers=6)
+
+    def loader_for(ds):
+        def go(epoch, seed):
+            return make_da_loader(ds, args.batch, CANVAS, tf,
+                                  max_boxes=MAX_BOXES, seed=seed,
+                                  epoch=epoch, num_threads=4)
+        return go
+
+    def init_state(model, batch0, seed):
+        # jit the whole init (param init + tx.init + the 3 EMA copies):
+        # eager Flax init + tree copies dispatch thousands of individual
+        # ops through the relay (tools/profile_model.py:42 jits init for
+        # the same reason). make_optimizer only reads tree PATHS for its
+        # param groups, so eval_shape structs feed it without compute.
+        def raw_init():
+            return model.init(
+                jax.random.PRNGKey(seed), jnp.asarray(batch0["images"]),
+                jnp.asarray(batch0["pad_mask"]),
+                targets={k: jnp.asarray(batch0[k])
+                         for k in ("boxes", "labels", "valid")},
+                dn_rng=jax.random.PRNGKey(seed + 1), train=True,
+                global_proto=jnp.zeros((K, HD)), amount=jnp.zeros((K,)),
+            )
+
+        tx = make_optimizer(jax.eval_shape(raw_init), lr=args.lr,
+                            lr_backbone=args.lr / 10)
+        state = jax.jit(lambda: create_train_state(
+            raw_init(), tx, K, HD, jax.random.PRNGKey(seed + 2)))()
+        return state, tx
+
+    def run_burnin(state, model, tx, loader, epochs, tag, ep0=0, seed=0):
+        for ep in range(ep0, ep0 + epochs):
+            t0, n, last = time.time(), 0, None
+            for batch in loader(ep, seed):
+                arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                          if k not in ("images_strong", "real_sizes")}
+                state, m = train_step_burnin(state, arrays, model, tx,
+                                             ccfg, wd)
+                n += 1
+                last = m
+            loss = float(last["loss"])  # forces the epoch's chain
+            _log(tag, epoch=ep, steps=n, loss=loss,
+                 sec=round(time.time() - t0, 1))
+        return state
+
+    # ---- 1. parity-arch teacher, fog-supervised --------------------------
+    teacher = flagship(points=4)
+    t_loader = loader_for(DAPairedDataset(fog, fog, strong_aug=True))
+    batch0 = next(iter(t_loader(0, 0)))
+    t0 = time.time()
+    t_state, t_tx = init_state(teacher, batch0, seed=args.seed)
+    _log("init", arch="teacher_p4", sec=round(time.time() - t0, 1),
+         params=int(sum(np.prod(p.shape) for p in
+                        jax.tree.leaves(t_state.params))))
+    t_state = run_burnin(t_state, teacher, t_tx, t_loader,
+                         args.teacher_epochs or args.epochs, "teacher")
+    ap_teacher = evaluate(t_state.params, teacher, ev_loader,
+                          val.categories)
+    _log("eval", arch="teacher_p4", ap50=float(ap_teacher["ap50"]),
+         ap=float(ap_teacher["coco_eval_bbox"][0]))
+
+    # ---- 2. distilled fast-arch student ----------------------------------
+    student_arch = flagship(points=2)
+    da_loader = loader_for(DAPairedDataset(clear, fog, strong_aug=True))
+    d_state, d_tx = init_state(student_arch, batch0, seed=args.seed + 10)
+    d_state = run_burnin(d_state, student_arch, d_tx, da_loader,
+                         args.epochs // 2, "distill_burnin", seed=1)
+    thr = jnp.full((K,), args.thr, jnp.float32)
+    pseudo_total = 0
+    for ep in range(args.epochs // 2, args.epochs):
+        te, n, last = time.time(), 0, None
+        for batch in da_loader(ep, 1):
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+            d_state, m = train_step_self_training(
+                d_state, arrays, student_arch, d_tx, ccfg, wd, thr,
+                canvas_hw=CANVAS, num_select=100, max_pseudo=MAX_BOXES,
+                teacher_model=teacher, teacher_params=t_state.params,
+            )
+            n += 1
+            last = m
+        pseudo = int(jax.device_get(last["num_pseudo"]))
+        pseudo_total += pseudo
+        _log("distill_selftrain", epoch=ep, steps=n,
+             loss=float(last["loss"]), last_step_pseudo=pseudo,
+             sec=round(time.time() - te, 1))
+    ap_distill = evaluate(d_state.params, student_arch, ev_loader,
+                          val.categories)
+    _log("eval", arch="distilled_p2", ap50=float(ap_distill["ap50"]),
+         ap=float(ap_distill["coco_eval_bbox"][0]))
+
+    # ---- 3. equal-budget from-scratch fast-arch baseline -----------------
+    ap_scratch = {"ap50": float("nan"), "coco_eval_bbox": [float("nan")] * 12}
+    if not args.skip_scratch:
+        s_state, s_tx = init_state(student_arch, batch0,
+                                   seed=args.seed + 10)
+        s_state = run_burnin(s_state, student_arch, s_tx, da_loader,
+                             args.epochs, "scratch", seed=1)
+        ap_scratch = evaluate(s_state.params, student_arch, ev_loader,
+                              val.categories)
+        _log("eval", arch="scratch_p2", ap50=float(ap_scratch["ap50"]),
+             ap=float(ap_scratch["coco_eval_bbox"][0]))
+
+    retention = (float(ap_distill["ap50"]) / float(ap_teacher["ap50"])
+                 if float(ap_teacher["ap50"]) > 0 else float("nan"))
+    _log("result",
+         teacher_ap50=float(ap_teacher["ap50"]),
+         distilled_ap50=float(ap_distill["ap50"]),
+         scratch_ap50=float(ap_scratch["ap50"]),
+         retention=retention, pseudo_last_steps=pseudo_total,
+         width="256/8h/2048ffn/6+6/r50-bf16-remat",
+         probe=bool(args.probe))
+
+
+if __name__ == "__main__":
+    main()
